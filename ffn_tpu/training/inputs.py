@@ -1,0 +1,205 @@
+"""Training input pipeline: coordinates -> volume patches -> examples.
+
+TF-free equivalent of the reference's ffn/training/inputs.py + the data
+assembly in train.py:202-286: shard-expanded coordinate files (TFRecord
+GZIP of tf.train.Example, read via ffn_tpu.utils.tfrecord, or .npy),
+h5/numpy random patch reads, center-label -> LOM -> soften_labels, and
+per-volume offset/scale normalization. Host-side numpy with a background
+prefetch thread; the device never sees this code.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue as queue_lib
+import random
+import re
+import threading
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+from ffn_tpu.proto import example_pb2
+from ffn_tpu.utils import tfrecord
+
+
+def expand_shards(pattern: str) -> list[str]:
+    """Expands 'path@N' into N shard file names (reference inputs.py:35-63)."""
+    m = re.search(r"@(\d+)$", pattern)
+    if not m:
+        return [pattern]
+    num_shards = int(m.group(1))
+    base = pattern[:m.start()]
+    return [f"{base}-{i:05d}-of-{num_shards:05d}" for i in range(num_shards)]
+
+
+def load_patch_coordinates(coordinates_file_pattern: str,
+                           shuffle: bool = True,
+                           rng: Optional[random.Random] = None
+                           ) -> Iterator[tuple[np.ndarray, str]]:
+    """Yields (center_xyz int64[3], volume_name) from coordinate files.
+
+    Supports the reference's GZIP TFRecord format and .npy/.npz archives
+    with 'center' (N, 3) and 'label_volume_name' (N,) arrays.
+    """
+    files = []
+    for pattern in coordinates_file_pattern.split(","):
+        files.extend(expand_shards(pattern))
+    if rng is None:
+        rng = random.Random(0)
+
+    while True:
+        order = list(files)
+        if shuffle:
+            rng.shuffle(order)
+        for path in order:
+            if path.endswith(".npy") or path.endswith(".npz"):
+                data = np.load(path, allow_pickle=False)
+                centers = data["center"]
+                names = data["label_volume_name"]
+                idx = list(range(len(centers)))
+                if shuffle:
+                    rng.shuffle(idx)
+                for i in idx:
+                    name = names[i]
+                    if isinstance(name, bytes):
+                        name = name.decode()
+                    yield centers[i].astype(np.int64), str(name)
+            else:
+                records = list(tfrecord.read_records(path))
+                if shuffle:
+                    rng.shuffle(records)
+                for blob in records:
+                    ex = example_pb2.Example()
+                    ex.ParseFromString(blob)
+                    feats = ex.features.feature
+                    center = np.array(feats["center"].int64_list.value,
+                                      np.int64)
+                    name = feats["label_volume_name"].bytes_list.value[0]
+                    yield center, name.decode()
+
+
+def parse_volume_map(spec: str) -> dict:
+    """Parses 'volname:path:dataset[,volname:path:dataset...]' into open
+    h5 datasets (reference train.py:205-213)."""
+    import h5py
+
+    volume_map = {}
+    for vol in spec.split(","):
+        volname, path, dataset = vol.split(":")
+        volume_map[volname] = h5py.File(path, "r")[dataset]
+    return volume_map
+
+
+def load_from_numpylike(coord_xyz, volume, size_xyz) -> np.ndarray:
+    """Reads a centered patch from a numpy-like volume.
+
+    Args:
+      coord_xyz: (x, y, z) center
+      volume: 3d (z, y, x) or 4d (c, z, y, x) array-like
+      size_xyz: (x, y, z) patch size
+
+    Returns:
+      (z, y, x) ndarray (channel 0 for 4d volumes).
+    """
+    size = np.array(size_xyz[::-1])
+    start = np.array(coord_xyz[::-1]) - size // 2
+    sel = tuple(slice(int(s), int(s + d)) for s, d in zip(start, size))
+    if getattr(volume, "ndim", 3) == 4:
+        sel = (0,) + sel
+    return np.asarray(volume[sel])
+
+
+def soften_labels(bool_labels: np.ndarray, softness: float = 0.05
+                  ) -> np.ndarray:
+    """Converts a boolean object mask into soft labels (0.05 / 0.95)."""
+    return np.where(bool_labels, np.float32(1.0 - softness),
+                    np.float32(softness))
+
+
+def center_lom(labels: np.ndarray) -> np.ndarray:
+    """Local object mask: voxels sharing the center voxel's nonzero label."""
+    center = tuple(np.array(labels.shape) // 2)
+    center_label = labels[center]
+    return np.logical_and(labels > 0, labels == center_label)
+
+
+def coordinates_in_bounds(coord_xyz, size_xyz, volume_shape_zyx) -> bool:
+    """Whether a centered patch fits entirely inside a volume."""
+    size = np.array(size_xyz[::-1])
+    start = np.array(coord_xyz[::-1]) - size // 2
+    end = start + size
+    shape = np.array(volume_shape_zyx[-3:])
+    return bool(np.all(start >= 0) and np.all(end <= shape))
+
+
+class ExampleLoader:
+    """Assembles (image, soft labels, weights, coord, volname) examples."""
+
+    def __init__(self, coordinates_file_pattern: str,
+                 image_volume_map: dict, label_volume_map: dict,
+                 image_size_xyz, label_size_xyz,
+                 image_mean: float, image_stddev: float,
+                 offset_scale_map: Optional[dict] = None,
+                 augment: Optional[Callable] = None,
+                 shuffle: bool = True, seed: int = 0):
+        self._coords = load_patch_coordinates(
+            coordinates_file_pattern, shuffle=shuffle,
+            rng=random.Random(seed))
+        self._image_volume_map = image_volume_map
+        self._label_volume_map = label_volume_map
+        self._image_size = image_size_xyz
+        self._label_size = label_size_xyz
+        self._image_mean = image_mean
+        self._image_stddev = image_stddev
+        self._offset_scale_map = offset_scale_map or {}
+        self._augment = augment
+        self._lock = threading.Lock()
+
+    def __call__(self):
+        while True:
+            with self._lock:
+                coord, volname = next(self._coords)
+            image_vol = self._image_volume_map[volname]
+            label_vol = self._label_volume_map[volname]
+            if not coordinates_in_bounds(coord, self._image_size,
+                                         image_vol.shape):
+                continue
+            if not coordinates_in_bounds(coord, self._label_size,
+                                         label_vol.shape):
+                continue
+
+            labels = load_from_numpylike(coord, label_vol, self._label_size)
+            lom = center_lom(labels)
+            soft = soften_labels(lom)
+
+            image = load_from_numpylike(coord, image_vol, self._image_size)
+            offset, scale = self._offset_scale_map.get(
+                volname, (self._image_mean, self._image_stddev))
+            image = (image.astype(np.float32) - offset) / scale
+
+            # (1, z, y, x, 1) layout.
+            image = image[np.newaxis, ..., np.newaxis]
+            soft = soft[np.newaxis, ..., np.newaxis].astype(np.float32)
+            weights = np.ones_like(soft)
+
+            if self._augment is not None:
+                image, soft, weights = self._augment(image, soft, weights)
+            return image, soft, weights, coord, volname
+
+
+class PrefetchingLoader:
+    """Wraps a loader callable with a background prefetch queue."""
+
+    def __init__(self, loader: Callable, capacity: int = 16):
+        self._loader = loader
+        self._queue = queue_lib.Queue(maxsize=capacity)
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self):
+        while True:
+            self._queue.put(self._loader())
+
+    def __call__(self):
+        return self._queue.get()

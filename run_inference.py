@@ -16,6 +16,10 @@ from absl import app
 from absl import flags
 from google.protobuf import text_format
 
+from ffn_tpu.utils import platform as platform_lib
+
+platform_lib.apply_env()
+
 from ffn_tpu.inference import flags as inference_flags
 from ffn_tpu.inference import runner as runner_lib
 from ffn_tpu.inference import storage

@@ -1,0 +1,283 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from scipy.special import expit, logit
+
+from ffn_tpu.models import convstack_3d
+from ffn_tpu.training import examples as examples_lib
+from ffn_tpu.training import inputs as inputs_lib
+from ffn_tpu.training import mask as mask_lib
+from ffn_tpu.training import optimizer as optimizer_lib
+from ffn_tpu.training import tracker as tracker_lib
+from ffn_tpu.training import train_lib
+
+
+def small_config(batch=2):
+    return train_lib.TrainConfig(
+        fov_size=(9, 9, 9), deltas=(2, 2, 2), depth=1, features=2,
+        batch_size=batch,
+        optimizer=optimizer_lib.OptimizerConfig(optimizer="sgd",
+                                                learning_rate=0.01))
+
+
+def small_model():
+    return convstack_3d.ConvStack3DFFNModel(
+        fov_size=[9, 9, 9], deltas=[2, 2, 2], depth=1, features=2)
+
+
+def make_batch(config, model, rng):
+    info = model.info
+    canvas = train_lib.train_canvas_size(info, config)[::-1]
+    label_canvas = train_lib.train_labels_size(info, config)[::-1]
+    B = config.batch_size
+    seeds = train_lib.make_seed_canvas(B, canvas, config.seed_pad,
+                                       config.seed_init)
+    images = rng.randn(B, *canvas, 1).astype(np.float32)
+    # Blobby labels covering the center region, per lane.
+    labels = np.full((B, *label_canvas, 1), 0.05, np.float32)
+    labels[:, 2:-2, 2:-2, 2:-2, :] = 0.95
+    weights = np.ones_like(labels)
+    return seeds, images, labels, weights
+
+
+def host_loop_oracle(model, tx, config, seeds, images, labels, weights,
+                     offsets):
+    """Reference-semantics oracle: per-offset python loop, same math."""
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt_state = tx.init(params)
+    move_t = logit(config.threshold)
+    info = model.info
+    fov = tuple(info.input_seed_size[::-1])
+    pred = tuple(info.pred_mask_size[::-1])
+    img_size = tuple(info.input_image_size[::-1])
+
+    seeds = seeds.copy()
+    losses = []
+    step_fn = train_lib.make_fov_train_step(model, tx)
+
+    for off in offsets:
+        off_xyz = tuple(int(v) for v in off[::-1])
+        center = np.array(seeds.shape[1:4]) // 2 + np.array(off)
+        valid = seeds[:, center[0], center[1], center[2], 0] >= move_t
+        if not valid.any():
+            losses.append(None)
+            continue
+        # Crop all lanes; train on the valid subset only.
+        sp = mask_lib.crop_and_pad(seeds, off_xyz, fov).copy()
+        ip = mask_lib.crop_and_pad(images, off_xyz, img_size).copy()
+        lp = mask_lib.crop_and_pad(labels, off_xyz, pred).copy()
+        wp = mask_lib.crop_and_pad(weights, off_xyz, pred).copy()
+        wp = wp * valid[:, None, None, None, None]
+
+        def loss_fn(p):
+            logits = model.apply(p, jnp.asarray(ip),
+                                 jax.lax.stop_gradient(jnp.asarray(sp)))
+            ce = train_lib.sigmoid_ce(logits, jnp.asarray(lp)) \
+                * jnp.asarray(wp)
+            per_lane = ce.mean(axis=(1, 2, 3, 4))
+            denom = max(valid.sum(), 1)
+            return per_lane.sum() / denom, logits
+
+        import optax
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+
+        out = np.array(logits)
+        write = mask_lib.crop_and_pad(seeds, off_xyz, pred)
+        assert write.base is not None
+        write[valid] = out[valid]
+    return params, seeds, losses
+
+
+def test_scan_trainer_matches_host_oracle():
+    config = small_config(batch=2)
+    model = small_model()
+    tx = optimizer_lib.optimizer_from_config(config.optimizer)
+    rng = np.random.RandomState(0)
+    seeds, images, labels, weights = make_batch(config, model, rng)
+    offsets = train_lib.fixed_offsets_zyx(model.info)
+
+    params0 = model.init_params(jax.random.PRNGKey(0))
+    opt_state0 = tx.init(params0)
+    step = train_lib.make_scan_train_step(model, tx, config)
+    params, opt_state, _, out_seeds, metrics = step(
+        params0, opt_state0, None, jnp.asarray(seeds.copy()),
+        jnp.asarray(images), jnp.asarray(labels), jnp.asarray(weights),
+        jnp.asarray(offsets))
+
+    o_params, o_seeds, o_losses = host_loop_oracle(
+        model, tx, config, seeds, images, labels, weights, offsets)
+
+    # Seeds written identically.
+    np.testing.assert_allclose(np.asarray(out_seeds), o_seeds, atol=2e-4)
+    # Params converge to the same values.
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(o_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    # Loss trace matches where offsets were active.
+    got_losses = np.asarray(metrics["loss"])
+    active = np.asarray(metrics["active"])
+    for i, ol in enumerate(o_losses):
+        if ol is not None:
+            assert abs(got_losses[i] - ol) < 2e-4, (i, got_losses[i], ol)
+        else:
+            assert active[i] == 0
+
+    # Training progress: reuse the compiled step on the same batch; the
+    # mean per-offset loss must drop. (Kept in this test to avoid paying
+    # XLA-CPU's expensive conv-grad compile twice.)
+    first = None
+    for _ in range(10):
+        params, opt_state, _, _, metrics = step(
+            params, opt_state, None, jnp.asarray(seeds.copy()),
+            jnp.asarray(images), jnp.asarray(labels), jnp.asarray(weights),
+            jnp.asarray(offsets))
+        losses = np.asarray(metrics["loss"])
+        act = np.asarray(metrics["active"]) > 0
+        mean_loss = losses[act].mean()
+        if first is None:
+            first = mean_loss
+    assert mean_loss < first
+
+
+def test_scan_trainer_sharded_mesh():
+    # 8 virtual CPU devices (conftest). Tiny model: XLA-CPU conv-grad
+    # compile time explodes with the FOV/batch size.
+    model = convstack_3d.ConvStack3DFFNModel(
+        fov_size=[5, 5, 5], deltas=[1, 1, 1], depth=1, features=2)
+    config = train_lib.TrainConfig(
+        fov_size=(5, 5, 5), deltas=(1, 1, 1), depth=1, features=2,
+        batch_size=8)
+    tx = optimizer_lib.optimizer_from_config(config.optimizer)
+    mesh = train_lib.make_data_mesh()
+    assert mesh.devices.size == 8
+
+    step = train_lib.make_scan_train_step(model, tx, config, mesh=mesh)
+    rng = np.random.RandomState(2)
+    seeds, images, labels, weights = make_batch(config, model, rng)
+    offsets = jnp.asarray(train_lib.fixed_offsets_zyx(model.info))
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt_state = tx.init(params)
+    params, opt_state, _, out_seeds, metrics = step(
+        params, opt_state, None, jnp.asarray(seeds), jnp.asarray(images),
+        jnp.asarray(labels), jnp.asarray(weights), offsets)
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+    assert out_seeds.shape[0] == 8
+
+
+def test_fixed_offsets_policy_parity():
+    """examples.fixed_offsets yields exactly the moves whose seed gate
+    passes, recording stats."""
+    model = small_model()
+    info = model.info
+    tr = tracker_lib.EvalTracker((5, 5, 5))
+    seed = np.full((1, 13, 13, 13, 1), logit(0.05), np.float32)
+    seed[0, 6, 6, 6, 0] = logit(0.95)
+    # Make the +x move valid.
+    seed[0, 6, 6, 8, 0] = logit(0.95)
+    labels = np.full((1, 13, 13, 13, 1), 0.95, np.float32)
+
+    from ffn_tpu.models import model_info as mi
+    shifts = mi.shift_collection(info.deltas)
+    offs = list(examples_lib.fixed_offsets(
+        info, seed, labels, tr, threshold=logit(0.9), fov_shifts=shifts))
+    assert (0, 0, 0) in offs
+    assert (2, 0, 0) in offs
+    assert len(offs) == 2
+    s = tr.get_summaries()
+    assert s["moves/total"] == 27
+
+
+def test_batch_example_iter_seed_writeback():
+    model = small_model()
+    info = model.info
+    config = small_config()
+    tr = tracker_lib.EvalTracker((5, 5, 5))
+    canvas = tuple(train_lib.train_canvas_size(info, config)[::-1])
+
+    rng = np.random.RandomState(0)
+
+    def load_example():
+        img = rng.randn(1, *canvas, 1).astype(np.float32)
+        lab = np.full((1, *canvas, 1), 0.95, np.float32)
+        return img, lab, np.ones_like(lab), (0, 0, 0), "v"
+
+    def make_gen():
+        return examples_lib.get_example(
+            load_example, tr, info,
+            lambda i, s, l, t: examples_lib.no_offsets(i, s, l, t),
+            seed_pad=0.05, seed_shape=canvas)
+
+    it = examples_lib.BatchExampleIter(make_gen, tr, 2, info)
+    seeds, patches, labels, weights = next(it)
+    assert seeds.shape == (2, 9, 9, 9, 1)
+    new = np.full_like(seeds, 7.0)
+    it.update_seeds(new)
+    # Next pull reflects the write-back through the aliased views.
+    # (no_offsets yields once per example, so next batch = new examples
+    # with fresh seeds; instead check the canvases via the private refs.)
+    for s in it._seeds:
+        center = tuple(np.array(s.shape[1:4]) // 2)
+        assert s[0, center[0], center[1], center[2], 0] == 7.0
+
+
+def test_coordinate_roundtrip_npz(tmp_path):
+    path = str(tmp_path / "coords.npz")
+    centers = np.array([[10, 20, 30], [40, 50, 60]], np.int64)
+    names = np.array(["v1", "v2"])
+    np.savez(path, center=centers, label_volume_name=names)
+    it = inputs_lib.load_patch_coordinates(path, shuffle=False)
+    c, n = next(it)
+    np.testing.assert_array_equal(c, [10, 20, 30])
+    assert n == "v1"
+
+
+def test_coordinate_roundtrip_tfrecord(tmp_path):
+    from ffn_tpu.proto import example_pb2
+    from ffn_tpu.utils import tfrecord
+
+    path = str(tmp_path / "coords.tfrecord")
+    with tfrecord.RecordWriter(path, compression="GZIP") as w:
+        for center, name in [((1, 2, 3), b"a"), ((4, 5, 6), b"b")]:
+            ex = example_pb2.Example()
+            ex.features.feature["center"].int64_list.value.extend(center)
+            ex.features.feature["label_volume_name"].bytes_list.value\
+                .append(name)
+            w.write(ex.SerializeToString())
+    it = inputs_lib.load_patch_coordinates(path, shuffle=False)
+    c, n = next(it)
+    np.testing.assert_array_equal(c, [1, 2, 3])
+    assert n == "a"
+
+
+def test_example_loader(tmp_path):
+    import h5py
+    img = np.random.RandomState(0).randint(0, 255, (40, 40, 40)) \
+        .astype(np.uint8)
+    lab = np.zeros((40, 40, 40), np.uint64)
+    lab[10:30, 10:30, 10:30] = 7
+    with h5py.File(str(tmp_path / "d.h5"), "w") as f:
+        f.create_dataset("img", data=img)
+        f.create_dataset("lab", data=lab)
+
+    coords = str(tmp_path / "coords.npz")
+    np.savez(coords, center=np.array([[20, 20, 20]] * 4, np.int64),
+             label_volume_name=np.array(["v"] * 4))
+
+    import h5py as h5
+    loader = inputs_lib.ExampleLoader(
+        coords,
+        image_volume_map={"v": h5.File(str(tmp_path / "d.h5"), "r")["img"]},
+        label_volume_map={"v": h5.File(str(tmp_path / "d.h5"), "r")["lab"]},
+        image_size_xyz=(13, 13, 13), label_size_xyz=(13, 13, 13),
+        image_mean=128, image_stddev=33)
+    image, soft, weights, coord, volname = loader()
+    assert image.shape == (1, 13, 13, 13, 1)
+    assert soft.shape == (1, 13, 13, 13, 1)
+    # Center label is 7 -> LOM covers the whole crop (all inside object).
+    assert (soft > 0.9).all()
+    assert volname == "v"

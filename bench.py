@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Benchmark: FOV inference throughput of the flood-fill engine.
+
+Prints ONE JSON line:
+  {"metric": "fov_steps_per_sec_per_chip", "value": N, "unit": "FOV/s",
+   "vs_baseline": R}
+
+Measures the production hot path (engine.select_step: on-device candidate
+selection -> conv stack -> disco mask -> scatter -> face-max scoring, with
+only scalar-sized host traffic) for the flagship ConvStack3D (depth 12,
+33^3 FOV, fib25 configuration) on a 250^3 canvas with BENCH_BATCH
+concurrent lanes.
+
+Baseline derivation (vs_baseline): the reference segments training2 250^3
+in ~420 s on a P100 (README.md:130-131); at roughly 1e5 FOV inferences for
+that volume this is ~240 FOV/s. vs_baseline = ours / 240.
+
+Env knobs: BENCH_BATCH (lanes, default 16), BENCH_STEPS (default 30),
+BENCH_CANVAS (default 250), BENCH_PRECISION (default|highest),
+BENCH_DTYPE (f32|bf16).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from ffn_tpu.inference import engine as engine_lib
+    from ffn_tpu.models import convstack_3d
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    canvas = int(os.environ.get("BENCH_CANVAS", "250"))
+    precision = (jax.lax.Precision.HIGHEST
+                 if os.environ.get("BENCH_PRECISION") == "highest"
+                 else None)
+    dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bf16"
+             else jnp.float32)
+
+    model = convstack_3d.ConvStack3DFFNModel(
+        fov_size=[33, 33, 33], deltas=[8, 8, 8], depth=12, features=32,
+        precision=precision, dtype=dtype)
+    params = model.init_params(jax.random.PRNGKey(0))
+    eng = engine_lib.FloodFillEngine(
+        model, params, pad_value=-2.944, move_threshold=2.197,
+        disco_seed_threshold=0.0)
+
+    rng = np.random.RandomState(0)
+    image = rng.randn(canvas, canvas, canvas).astype(np.float32)
+    image_dev = eng.put_image(image)
+    seeds = eng.new_seed_batch(batch, image.shape)
+    positions = rng.randint(17, canvas - 17, size=(batch, 3)).astype(
+        np.int32)
+    seeds = eng.reset_lanes(seeds, np.ones(batch, bool), positions, 2.944)
+
+    K = 4
+    start_pos = positions.copy()
+    active = np.ones(batch, bool)
+    ignore = np.ones(batch, bool)
+
+    def make_cands():
+        base = rng.randint(17, canvas - 17, size=(batch, 1, 3))
+        return np.broadcast_to(base, (batch, K, 3)).astype(np.int32)
+
+    # Warm up / compile.
+    seeds, aux = eng.select_step(image_dev, seeds, make_cands(), start_pos,
+                                 active, ignore)
+    jax.block_until_ready(seeds)
+
+    t0 = time.time()
+    for _ in range(steps):
+        seeds, aux = eng.select_step(image_dev, seeds, make_cands(),
+                                     start_pos, active, ignore)
+    jax.block_until_ready(seeds)
+    elapsed = time.time() - t0
+
+    fov_per_sec = steps * batch / elapsed
+    baseline = 240.0
+    print(json.dumps({
+        "metric": "fov_steps_per_sec_per_chip",
+        "value": round(fov_per_sec, 2),
+        "unit": "FOV/s",
+        "vs_baseline": round(fov_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

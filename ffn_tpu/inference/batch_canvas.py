@@ -1,0 +1,380 @@
+"""Batched multi-seed flood-fill canvas.
+
+Segments B objects ("lanes") concurrently on one subvolume through the
+engine's candidate-selecting device program: per step, each lane submits
+its K front-of-queue movement candidates; the device drops the ones below
+the move threshold (the reference's pop-until-valid, against the same seed
+state), runs the FFN update at the first valid one, and returns face-max
+scores — so the host round-trip carries only scalars.
+
+This is the TPU-native replacement for the reference's
+`concurrent_requests` canvas threads + batching executor
+(ffn/inference/executor.py:211-344): instead of N threads filling a batch
+through queues, N independent objects advance inside one jitted program.
+
+Semantics parity with Canvas.segment_all/segment_at for each individual
+object (movement FIFO order, delta-lattice dedup, logit thresholds,
+weak-seed/min-size rejection, origins/overlaps bookkeeping). Deviation by
+design: objects whose flood fills overlap *in time* do not see each
+other's voxels until one of them is finalized (the reference serializes
+objects within a subvolume, so late objects always see earlier ones).
+Contested voxels still go to whichever object finalizes first — the same
+arbitration rule the reference applies, at lane granularity. Use lanes=1
+(or Canvas) for bit-exact reference behaviour.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from absl import logging
+import numpy as np
+from scipy.special import expit, logit
+
+from ffn_tpu.inference import movement
+from ffn_tpu.inference import seed as seed_lib
+from ffn_tpu.inference import storage
+from ffn_tpu.inference.counters import Counters, TimedIter, timer_counter
+from ffn_tpu.proto import inference_pb2
+
+MSEC_IN_SEC = 1000
+
+_IDLE = 0
+_RUNNING = 1
+
+
+class _Lane:
+    __slots__ = ("state", "start_pos", "queue", "done_cells", "min_pos",
+                 "max_pos", "num_iters", "t_start", "pending")
+
+    def __init__(self):
+        self.state = _IDLE
+        self.start_pos = None
+        self.queue = []        # FIFO of (score, (z, y, x))
+        self.done_cells = set()
+        self.min_pos = None
+        self.max_pos = None
+        self.num_iters = 0
+        self.t_start = 0.0
+        self.pending = []      # candidates currently submitted to device
+
+
+class BatchCanvas:
+    """Segments a subvolume with B concurrent flood-fill lanes."""
+
+    def __init__(self, model_info, engine, image, options,
+                 lanes: int = 8, candidates_per_step: int = 4,
+                 voxel_size_zyx=(1, 1, 1), counters=None, restrictor=None,
+                 corner_zyx=None, keep_probability_maps=False):
+        self.engine = engine
+        self.image = np.ascontiguousarray(image, dtype=np.float32)
+        self.voxel_size_zyx = voxel_size_zyx
+        self.lanes = lanes
+        self.K = candidates_per_step
+
+        self.options = inference_pb2.InferenceOptions()
+        self.options.CopyFrom(options)
+        for attr in ("init_activation", "pad_value", "move_threshold",
+                     "segment_threshold"):
+            setattr(self.options, attr,
+                    float(logit(getattr(self.options, attr))))
+
+        self.counters = counters if counters is not None else Counters()
+        self.corner_zyx = corner_zyx
+        self.shape = self.image.shape
+        self.restrictor = restrictor if restrictor is not None else \
+            movement.MovementRestrictor()
+
+        self._pred_size = np.array(model_info.pred_mask_size[::-1])
+        self._input_seed_size = np.array(model_info.input_seed_size[::-1])
+        self._input_image_size = np.array(model_info.input_image_size[::-1])
+        self.margin = self._input_image_size // 2
+        self._deltas_zyx = np.array(model_info.deltas[::-1])
+
+        self.segmentation = np.zeros(self.shape, np.int32)
+        self.keep_probability_maps = keep_probability_maps
+        self.seg_prob = np.zeros(self.shape, np.uint8) \
+            if keep_probability_maps else None
+
+        self._image_dev = engine.put_image(self.image)
+        self._seeds_dev = engine.new_seed_batch(lanes, self.shape)
+        self._lanes = [_Lane() for _ in range(lanes)]
+
+        self.origins = {}
+        self.overlaps = {}
+        self._max_id = 0
+        self.global_to_local_ids = {}
+        self.local_to_global_ids = {}
+        self.seed_policy = None
+
+    # Seed policies access canvas.segmentation/restrictor/margin/shape/image.
+
+    def log_info(self, s, *args):
+        logging.info(s, *args)
+
+    def get_next_segment_id(self) -> int:
+        self._max_id += 1
+        while self._max_id in self.origins:
+            self._max_id += 1
+        return self._max_id
+
+    # -- host-side candidate filtering (mirrors Canvas.is_valid_pos minus
+    #    the seed-value check, which runs on device) -------------------------
+
+    def _pos_in_bounds(self, pos) -> bool:
+        p = np.asarray(pos)
+        return bool(np.all(p - self.margin >= 0)
+                    and np.all(p + self.margin < self.shape))
+
+    def _host_valid(self, lane: _Lane, pos) -> bool:
+        if self._quantize(lane, pos) in lane.done_cells:
+            return False
+        if not self._pos_in_bounds(pos):
+            self.counters["skip_invalid_pos"].Increment()
+            return False
+        if self.segmentation[tuple(pos)] > 0:
+            self.counters["skip_invalid_pos"].Increment()
+            return False
+        if not self.restrictor.is_valid_pos(tuple(pos)):
+            self.counters["skip_restriced_pos"].Increment()
+            return False
+        return True
+
+    def _quantize(self, lane: _Lane, pos):
+        rel = np.asarray(pos) - lane.start_pos
+        d = self._deltas_zyx
+        return tuple((rel + d // 2) // np.maximum(d, 1))
+
+    def _valid_seed_pos(self, pos) -> bool:
+        """Seed-level filters from Canvas.segment_all (:559-581)."""
+        if not self._pos_in_bounds(pos):
+            self.counters["skip_invalid_pos"].Increment()
+            return False
+        if self.segmentation[pos] > 0:
+            self.counters["skip_invalid_pos"].Increment()
+            return False
+        if not (self.restrictor.is_valid_pos(pos)
+                and self.restrictor.is_valid_seed(pos)):
+            self.counters["skip_restriced_pos"].Increment()
+            return False
+        mbd = self.options.min_boundary_dist
+        mbd = np.array([mbd.z, mbd.y, mbd.x])
+        low = np.array(pos) - mbd
+        high = np.array(pos) + mbd + 1
+        sel = tuple(slice(max(int(s), 0), int(e))
+                    for s, e in zip(low, high))
+        if np.any(self.segmentation[sel] > 0):
+            self.segmentation[pos] = -1
+            return False
+        return True
+
+    # -- main loop -------------------------------------------------------------
+
+    def segment_all(self, seed_policy=seed_lib.PolicyPeaks):
+        self.seed_policy = seed_policy(self)
+        seed_iter = TimedIter(self.seed_policy, self.counters,
+                              "seed-policy")
+        seeds_exhausted = False
+
+        B, K = self.lanes, self.K
+        start_pos = np.zeros((B, 3), np.int32)
+        active = np.zeros(B, bool)
+        ignore = np.zeros(B, bool)
+        candidates = np.zeros((B, K, 3), np.int32)
+        safe_pos = np.array(self.margin, np.int32)  # in-bounds dummy
+
+        with timer_counter(self.counters, "segment_all"):
+            while True:
+                # 1. Assign fresh seeds to idle lanes.
+                reset_mask = np.zeros(B, bool)
+                reset_pos = np.zeros((B, 3), np.int32)
+                for li, lane in enumerate(self._lanes):
+                    if lane.state != _IDLE or seeds_exhausted:
+                        continue
+                    while True:
+                        try:
+                            pos = next(seed_iter)
+                        except StopIteration:
+                            seeds_exhausted = True
+                            break
+                        if self._valid_seed_pos(pos):
+                            break
+                    if seeds_exhausted:
+                        break
+                    lane.state = _RUNNING
+                    lane.start_pos = np.array(pos)
+                    lane.queue = []
+                    lane.done_cells = set()
+                    lane.min_pos = np.array(pos)
+                    lane.max_pos = np.array(pos)
+                    lane.num_iters = 0
+                    lane.t_start = time.time()
+                    lane.pending = [
+                        (self.options.move_threshold * 2, tuple(pos))]
+                    reset_mask[li] = True
+                    reset_pos[li] = pos
+                    self.log_info("lane %d: starting segmentation at %r "
+                                  "(zyx)", li, tuple(pos))
+
+                if reset_mask.any():
+                    self._seeds_dev = self.engine.reset_lanes(
+                        self._seeds_dev, reset_mask, reset_pos,
+                        self.options.init_activation)
+
+                # 2. Build candidate batches.
+                for li, lane in enumerate(self._lanes):
+                    active[li] = False
+                    ignore[li] = False
+                    candidates[li] = safe_pos
+                    if lane.state != _RUNNING:
+                        continue
+                    # Re-validate held-over candidates: the reference checks
+                    # dedup/segmentation at pop time, i.e. after every
+                    # executed move, so pending entries must be re-screened
+                    # each round (all but the first entry of a fresh lane,
+                    # which bypasses filters like the reference's seed).
+                    if lane.num_iters > 0:
+                        lane.pending = [
+                            (s, p) for (s, p) in lane.pending
+                            if self._host_valid(lane, p)]
+                    # Refill pending from the FIFO with host-valid entries.
+                    while len(lane.pending) < K and lane.queue:
+                        score, pos = lane.queue.pop(0)
+                        if self._host_valid(lane, pos):
+                            lane.pending.append((score, pos))
+                    if not lane.pending:
+                        # Queue exhausted: the object is complete.
+                        self._finalize(li, lane)
+                        continue
+                    active[li] = True
+                    ignore[li] = lane.num_iters == 0
+                    start_pos[li] = lane.start_pos
+                    for k, (_, pos) in enumerate(lane.pending[:K]):
+                        candidates[li, k] = pos
+                    for k in range(len(lane.pending), K):
+                        candidates[li, k] = lane.pending[-1][1]
+
+                if not active.any():
+                    if seeds_exhausted:
+                        break
+                    continue
+
+                # 3. One device step for all lanes.
+                with timer_counter(self.counters, "predict"):
+                    self._seeds_dev, aux = self.engine.select_step(
+                        self._image_dev, self._seeds_dev, candidates,
+                        start_pos, active, ignore)
+
+                # 4. Integrate results.
+                for li, lane in enumerate(self._lanes):
+                    if not active[li]:
+                        continue
+                    if not aux["start_ok"][li]:
+                        self.counters["seed_got_too_weak"].Increment()
+                        self._finalize(li, lane)
+                        continue
+                    chosen = int(aux["chosen"][li])
+                    n_pending = min(len(lane.pending), K)
+                    if chosen < 0 or chosen >= n_pending:
+                        # All submitted candidates were below threshold.
+                        self.counters["skip_threshold"].IncrementBy(
+                            n_pending)
+                        del lane.pending[:n_pending]
+                        if not lane.pending and not lane.queue:
+                            self._finalize(li, lane)
+                        continue
+                    # Candidates before the chosen one failed the threshold.
+                    self.counters["skip_threshold"].IncrementBy(chosen)
+                    pos = tuple(int(v) for v in aux["pos"][li])
+                    del lane.pending[:chosen + 1]
+                    lane.done_cells.add(self._quantize(lane, pos))
+                    lane.min_pos = np.minimum(lane.min_pos, pos)
+                    lane.max_pos = np.maximum(lane.max_pos, pos)
+                    lane.num_iters += 1
+                    self.counters["fov-moves"].Increment()
+
+                    # Queue face-max moves (desc score, as the reference
+                    # sorts them; identical (score, offset) pairs dedup).
+                    scored = []
+                    seen = set()
+                    for f in range(6):
+                        score = float(aux["scores"][li, f])
+                        if score < self.options.move_threshold:
+                            continue
+                        rel = tuple(int(v)
+                                    for v in aux["offsets"][li, f])
+                        item = (score, rel)
+                        if item in seen:
+                            continue
+                        seen.add(item)
+                        scored.append(item)
+                    scored.sort(reverse=True)
+                    for score, rel in scored:
+                        new_pos = tuple(int(rel[i] + pos[i])
+                                        for i in range(3))
+                        lane.queue.append((score, new_pos))
+
+        self.log_info("Segmentation done.")
+
+    def _finalize(self, li: int, lane: _Lane):
+        """Thresholds a finished lane's POM into the shared segmentation."""
+        lane.state = _IDLE
+        t_seg = time.time() - lane.t_start
+        num_iters = lane.num_iters
+        pos = tuple(int(v) for v in lane.start_pos)
+        if num_iters <= 0:
+            self.counters["invalid-other-time-ms"].IncrementBy(
+                t_seg * MSEC_IN_SEC)
+            return
+
+        with timer_counter(self.counters, "finalize"):
+            seed_host = self.engine.lane_seed(self._seeds_dev, li)
+
+        # Weak original seed?
+        if not (seed_host[pos] >= self.options.move_threshold):
+            if self.segmentation[pos] == 0:
+                self.segmentation[pos] = -1
+            self.log_info("lane %d: failed, weak seed", li)
+            self.counters["invalid-weak-time-ms"].IncrementBy(
+                t_seg * MSEC_IN_SEC)
+            return
+
+        sel = tuple(
+            slice(max(int(s), 0), int(e) + 1)
+            for s, e in zip(lane.min_pos - self._pred_size // 2,
+                            lane.max_pos + self._pred_size // 2))
+        with np.errstate(invalid="ignore"):
+            mask = seed_host[sel] >= self.options.segment_threshold
+        raw_segmented_voxels = int(np.sum(mask))
+
+        overlapped_ids, counts = np.unique(self.segmentation[sel][mask],
+                                           return_counts=True)
+        valid = overlapped_ids > 0
+        overlapped_ids = overlapped_ids[valid]
+        counts = counts[valid]
+
+        mask &= self.segmentation[sel] <= 0
+        actual = int(np.sum(mask))
+        if actual < self.options.min_segment_size:
+            if self.segmentation[pos] == 0:
+                self.segmentation[pos] = -1
+            self.log_info("lane %d: failed, too small: %d", li, actual)
+            self.counters["invalid-small-time-ms"].IncrementBy(
+                t_seg * MSEC_IN_SEC)
+            return
+
+        self.counters["voxels-segmented"].IncrementBy(actual)
+        self.counters["voxels-overlapping"].IncrementBy(
+            raw_segmented_voxels - actual)
+
+        sid = self.get_next_segment_id()
+        self.segmentation[sel][mask] = sid
+        if self.keep_probability_maps:
+            self.seg_prob[sel][mask] = storage.quantize_probability(
+                expit(seed_host[sel][mask]))
+        self.overlaps[sid] = np.array([overlapped_ids, counts])
+        self.origins[sid] = storage.OriginInfo(pos, num_iters, t_seg)
+        self.counters["valid-time-ms"].IncrementBy(t_seg * MSEC_IN_SEC)
+        self.log_info("lane %d: created supervoxel:%d seed(zyx):%s size:%d "
+                      "iters:%d", li, sid, pos, actual, num_iters)

@@ -63,8 +63,12 @@ class FloodFillEngine:
 
         self._step = jax.jit(self._step_impl, donate_argnums=(1,))
         self._step_batch = jax.jit(self._step_batch_impl, donate_argnums=(1,))
+        self._select_step = jax.jit(self._select_step_impl,
+                                    donate_argnums=(1,))
         self._reset = jax.jit(self._reset_impl, donate_argnums=(0,))
         self._reset_lane = jax.jit(self._reset_lane_impl, donate_argnums=(0,))
+        self._reset_lanes = jax.jit(self._reset_lanes_impl,
+                                    donate_argnums=(0,))
 
     # -- device programs ----------------------------------------------------
 
@@ -128,15 +132,161 @@ class FloodFillEngine:
 
         Returns:
           (new_seeds, patches (B, *pred_size)).
+
+        Inactivity is handled with a patch-sized select before the scatter
+        (NOT a full-buffer where, which would read+write every lane's whole
+        seed volume each step).
         """
-        def one(seed, p):
-            new_seed, logits = self._step_impl(image, seed, p)
+        def one(seed, p, act):
+            margin = jnp.array([s // 2 for s in self._image_size],
+                               jnp.int32)
+            image_patch = jax.lax.dynamic_slice(image, p - margin,
+                                                self._image_size)
+            seed_off = jnp.array([s // 2 for s in self._seed_size],
+                                 jnp.int32)
+            seed_start = p - seed_off
+            seed_patch = jax.lax.dynamic_slice(seed, seed_start,
+                                               self._seed_size)
+
+            logits = self._apply_model(image_patch, seed_patch)
+
+            write_start = seed_start + jnp.array(self._pred_delta,
+                                                 jnp.int32)
+            old = jax.lax.dynamic_slice(seed, write_start, self._pred_size)
+            patch = jnp.where(act, logits, old)
+            new_seed = jax.lax.dynamic_update_slice(seed, patch,
+                                                    write_start)
             return new_seed, logits
 
-        new_seeds, patches = jax.vmap(one)(seeds, pos)
-        keep = active.reshape((-1,) + (1,) * (seeds.ndim - 1))
-        new_seeds = jnp.where(keep, new_seeds, seeds)
-        return new_seeds, patches
+        return jax.vmap(one)(seeds, pos, active)
+
+    def _face_scores(self, patch):
+        """Face maxima of a pred-size patch: the device-side equivalent of
+        movement.get_scored_move_offsets (same math; filtering/sorting and
+        dedup stay on the host, which sees the identical values).
+
+        Returns (scores (6,), rel_offsets (6, 3) int32); axes ordered
+        (z-, z+, y-, y+, x-, x+). Faces of zero-delta axes get -inf.
+        """
+        deltas = tuple(int(d) for d in self.info.deltas[::-1])  # zyx
+        center = tuple(s // 2 for s in self._pred_size)
+        scores = []
+        offsets = []
+        for axis, d in enumerate(deltas):
+            for sign in (-1, 1):
+                if d == 0:
+                    scores.append(jnp.float32(-jnp.inf))
+                    offsets.append(jnp.zeros((3,), jnp.int32))
+                    continue
+                sel = [slice(c - dd, c + dd + 1)
+                       for c, dd in zip(center, deltas)]
+                sel[axis] = center[axis] + sign * d
+                face = patch[tuple(sel)]
+                flat = face.reshape(-1)
+                idx = jnp.argmax(flat)
+                score = flat[idx]
+                f0 = idx // face.shape[1]
+                f1 = idx % face.shape[1]
+                rel2 = [f0 - face.shape[0] // 2, f1 - face.shape[1] // 2]
+                rel = rel2[:axis] + [sign * d] + rel2[axis:]
+                scores.append(score)
+                offsets.append(jnp.stack(
+                    [jnp.asarray(r, jnp.int32) for r in rel]))
+        return jnp.stack(scores), jnp.stack(offsets)
+
+    def _select_step_impl(self, image, seeds, candidates, start_pos,
+                          active, ignore_threshold):
+        """Batched step with on-device candidate selection.
+
+        Per lane: drop candidates whose current seed value is below the
+        move threshold (the reference's pop-until-valid, evaluated against
+        the same seed state), run the FFN update at the first valid one,
+        and score the faces of the updated patch. Only scalar-sized data
+        crosses to the host.
+
+        Args:
+          image: (Z, Y, X)
+          seeds: (B, Z, Y, X)
+          candidates: (B, K, 3) int32; K queued positions per lane in FIFO
+            order (pad unused entries arbitrarily within bounds)
+          start_pos: (B, 3) int32 segment origin per lane
+          active: (B,) bool
+          ignore_threshold: (B,) bool; take candidate 0 unconditionally
+            (used for the first step of a fresh segment)
+
+        Returns:
+          (new_seeds, aux) where aux = dict(
+            executed (B,) bool, chosen (B,) int32 (-1 if none valid),
+            start_ok (B,) bool, scores (B, 6), offsets (B, 6, 3),
+            pos (B, 3) — the executed position).
+        """
+        move_t = jnp.float32(self._move_threshold)
+
+        def one(seed, cands, start, act, ignore):
+            start_val = seed[start[0], start[1], start[2]]
+            start_ok = (start_val >= move_t) | ignore
+
+            def cand_value(k):
+                c = cands[k]
+                return seed[c[0], c[1], c[2]]
+
+            K = cands.shape[0]
+            vals = jax.vmap(cand_value)(jnp.arange(K))
+            ok = vals >= move_t
+            ok = ok.at[0].set(ok[0] | ignore)
+            chosen = jnp.argmax(ok)          # first True
+            any_ok = ok.any()
+            chosen = jnp.where(any_ok, chosen, -1)
+            executed = act & start_ok & any_ok
+            pos = cands[jnp.maximum(chosen, 0)]
+
+            margin = jnp.array([s // 2 for s in self._image_size],
+                               jnp.int32)
+            image_patch = jax.lax.dynamic_slice(image, pos - margin,
+                                                self._image_size)
+            seed_off = jnp.array([s // 2 for s in self._seed_size],
+                                 jnp.int32)
+            seed_start = pos - seed_off
+            seed_patch = jax.lax.dynamic_slice(seed, seed_start,
+                                               self._seed_size)
+            logits = self._apply_model(image_patch, seed_patch)
+
+            write_start = seed_start + jnp.array(self._pred_delta,
+                                                 jnp.int32)
+            old = jax.lax.dynamic_slice(seed, write_start, self._pred_size)
+            patch = jnp.where(executed, logits, old)
+            new_seed = jax.lax.dynamic_update_slice(seed, patch,
+                                                    write_start)
+            scores, offsets = self._face_scores(patch)
+            scores = jnp.where(executed, scores, -jnp.inf)
+            return new_seed, executed, chosen, start_ok, scores, offsets, \
+                pos
+
+        new_seeds, executed, chosen, start_ok, scores, offsets, pos = \
+            jax.vmap(one)(seeds, candidates, start_pos, active,
+                          ignore_threshold)
+        # Pack everything into ONE f32 array: each host<->device transfer
+        # is a round trip on the tunnel (~tens of ms), so per-step traffic
+        # must be a single buffer each way.
+        packed = jnp.concatenate([
+            executed.astype(jnp.float32)[:, None],
+            chosen.astype(jnp.float32)[:, None],
+            start_ok.astype(jnp.float32)[:, None],
+            scores,
+            offsets.reshape(offsets.shape[0], -1).astype(jnp.float32),
+            pos.astype(jnp.float32),
+        ], axis=1)
+        return new_seeds, packed
+
+    def _reset_lanes_impl(self, seeds, reset_mask, pos, init_activation):
+        """Resets the lanes selected by reset_mask (B,) to a fresh seed at
+        pos (B, 3)."""
+        def one(seed, reset, p):
+            cleared = jnp.full(seed.shape, jnp.nan, seed.dtype)
+            cleared = cleared.at[p[0], p[1], p[2]].set(init_activation)
+            return jnp.where(reset, cleared, seed)
+
+        return jax.vmap(one)(seeds, reset_mask, pos)
 
     def _reset_impl(self, seed, pos, init_activation):
         """Clears the seed to NaN and plants init_activation at pos."""
@@ -185,3 +335,57 @@ class FloodFillEngine:
             image, seeds, jnp.asarray(pos, jnp.int32),
             jnp.asarray(active, bool))
         return new_seeds, np.asarray(patches)
+
+    def select_step(self, image: jax.Array, seeds: jax.Array,
+                    candidates: np.ndarray, start_pos: np.ndarray,
+                    active: np.ndarray, ignore_threshold: np.ndarray):
+        """Batched candidate-selecting step; see _select_step_impl.
+
+        Returns (new_seeds, aux dict of host numpy arrays). Host traffic is
+        one packed upload and one packed download per step.
+        """
+        B = candidates.shape[0]
+        packed_in = np.concatenate([
+            np.asarray(candidates, np.int32).reshape(B, -1),
+            np.asarray(start_pos, np.int32).reshape(B, 3),
+            np.asarray(active, np.int32).reshape(B, 1),
+            np.asarray(ignore_threshold, np.int32).reshape(B, 1),
+        ], axis=1)
+        new_seeds, packed = self._select_step_packed(
+            image, seeds, jnp.asarray(packed_in))
+        packed = np.asarray(packed)
+        aux = {
+            "executed": packed[:, 0] > 0,
+            "chosen": packed[:, 1].astype(np.int32),
+            "start_ok": packed[:, 2] > 0,
+            "scores": packed[:, 3:9],
+            "offsets": packed[:, 9:27].reshape(B, 6, 3).astype(np.int32),
+            "pos": packed[:, 27:30].astype(np.int32),
+        }
+        return new_seeds, aux
+
+    def _select_step_packed(self, image, seeds, packed_in):
+        """jit wrapper: unpacks the single upload buffer."""
+        if not hasattr(self, "_select_step_packed_jit"):
+            def fn(image, seeds, packed_in):
+                B = seeds.shape[0]
+                K = (packed_in.shape[1] - 5) // 3
+                candidates = packed_in[:, :3 * K].reshape(B, K, 3)
+                start_pos = packed_in[:, 3 * K:3 * K + 3]
+                active = packed_in[:, 3 * K + 3] > 0
+                ignore = packed_in[:, 3 * K + 4] > 0
+                return self._select_step_impl(image, seeds, candidates,
+                                              start_pos, active, ignore)
+
+            self._select_step_packed_jit = jax.jit(fn, donate_argnums=(1,))
+        return self._select_step_packed_jit(image, seeds, packed_in)
+
+    def reset_lanes(self, seeds: jax.Array, reset_mask: np.ndarray,
+                    pos: np.ndarray, init_activation: float):
+        return self._reset_lanes(seeds, jnp.asarray(reset_mask, bool),
+                                 jnp.asarray(pos, jnp.int32),
+                                 jnp.float32(init_activation))
+
+    def lane_seed(self, seeds: jax.Array, lane: int) -> np.ndarray:
+        """Downloads one lane's full seed buffer (used at finalization)."""
+        return np.asarray(seeds[lane])

@@ -213,18 +213,32 @@ class Runner:
         image = ((image.astype(np.float32) - self.request.image_mean)
                  / self.request.image_stddev)
 
-        canvas = canvas_lib.Canvas(
-            self._model_info, self.engine, image,
-            self.request.inference_options,
-            counters=subvol_counters,
-            restrictor=restrictor,
-            movement_policy_fn=movement.get_policy_fn(self.request,
-                                                      self._model_info),
-            checkpoint_path=storage.checkpoint_path(
-                self.request.segmentation_output_dir, corner),
-            checkpoint_interval_sec=self.request.checkpoint_interval,
-            corner_zyx=dst_corner,
-            **canvas_kwargs)
+        lanes = max(1, self.request.concurrent_requests)
+        if lanes > 1:
+            # Batched multi-seed canvas: the reference's
+            # concurrent_requests threads become device lanes.
+            from ffn_tpu.inference import batch_canvas
+            canvas = batch_canvas.BatchCanvas(
+                self._model_info, self.engine, image,
+                self.request.inference_options,
+                lanes=lanes,
+                counters=subvol_counters,
+                restrictor=restrictor,
+                corner_zyx=dst_corner,
+                **canvas_kwargs)
+        else:
+            canvas = canvas_lib.Canvas(
+                self._model_info, self.engine, image,
+                self.request.inference_options,
+                counters=subvol_counters,
+                restrictor=restrictor,
+                movement_policy_fn=movement.get_policy_fn(
+                    self.request, self._model_info),
+                checkpoint_path=storage.checkpoint_path(
+                    self.request.segmentation_output_dir, corner),
+                checkpoint_interval_sec=self.request.checkpoint_interval,
+                corner_zyx=dst_corner,
+                **canvas_kwargs)
 
         if self.request.HasField("init_segmentation"):
             canvas.init_segmentation_from_volume(
@@ -293,7 +307,8 @@ class Runner:
             return None
 
         partial_segment_iters = 0
-        if os.path.exists(cpoint_path):
+        if os.path.exists(cpoint_path) and hasattr(canvas,
+                                                   "restore_checkpoint"):
             partial_segment_iters = canvas.restore_checkpoint(cpoint_path)
 
         if self.request.alignment_options.save_raw:
@@ -302,9 +317,13 @@ class Runner:
                 np.savez_compressed(fd, im=canvas.image)
 
         self.canvases[tuple(corner)] = canvas
-        canvas.segment_all(
-            seed_policy=self.get_seed_policy(corner, subvol_size),
-            partial_segment_iters=partial_segment_iters)
+        if hasattr(canvas, "restore_checkpoint"):
+            canvas.segment_all(
+                seed_policy=self.get_seed_policy(corner, subvol_size),
+                partial_segment_iters=partial_segment_iters)
+        else:  # BatchCanvas
+            canvas.segment_all(
+                seed_policy=self.get_seed_policy(corner, subvol_size))
         self.save_segmentation(canvas, alignment, seg_path, prob_path)
         del self.canvases[tuple(corner)]
 

@@ -172,8 +172,13 @@ class Runner:
         return movement.MovementRestrictor(**kwargs) if kwargs else None
 
     def make_canvas(self, corner: Tuple3i, subvol_size: Tuple3i,
-                    **canvas_kwargs):
-        """Builds the Canvas for a subvolume; returns (canvas, alignment)."""
+                    force_serial: bool = False, **canvas_kwargs):
+        """Builds the Canvas for a subvolume; returns (canvas, alignment).
+
+        force_serial picks the serial Canvas even when concurrent_requests
+        asks for batched lanes (used by resegmentation, which needs
+        keep_history and exact serial semantics).
+        """
         subvol_counters = self.counters.get_sub_counters()
         with timer_counter(subvol_counters, "load-image"):
             logging.info("Process subvolume: %r", corner)
@@ -214,6 +219,8 @@ class Runner:
                  / self.request.image_stddev)
 
         lanes = max(1, self.request.concurrent_requests)
+        if force_serial:
+            lanes = 1
         if lanes > 1:
             # Batched multi-seed canvas: the reference's
             # concurrent_requests threads become device lanes.

@@ -101,11 +101,11 @@ class BoundingBox:
                             self.start[1]:self.end[1],
                             self.start[0]:self.end[0]]
 
-    # Reference's runner uses bbox.to_slice3d() with zyx-constructed boxes.
     def to_slice3d(self):
-        """Returns a slice tuple in the box's own axis order."""
-        return tuple(slice(int(s), int(e))
-                     for s, e in zip(self.start, self.end))
+        """Returns a ZYX slice tuple (same as to_slice; the XYZ box is
+        flipped for C-order array indexing, matching connectomics
+        BoundingBox.to_slice3d semantics)."""
+        return self.to_slice()
 
     def contains(self, point) -> bool:
         point = geom.to_numpy3(point)

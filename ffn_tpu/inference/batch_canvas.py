@@ -328,11 +328,26 @@ class BatchCanvas:
                 t_seg * MSEC_IN_SEC)
             return
 
+        # Download only the visited bounding box (bucketed shapes) — a full
+        # lane is ~64 MB over the tunnel, the bbox of a typical object is a
+        # small fraction of that.
+        sel_start = np.maximum(lane.min_pos - self._pred_size // 2, 0)
+        sel_end = np.minimum(lane.max_pos + self._pred_size // 2 + 1,
+                             self.shape)
         with timer_counter(self.counters, "finalize"):
-            seed_host = self.engine.lane_seed(self._seeds_dev, li)
+            region, region_start = self.engine.lane_seed_region(
+                self._seeds_dev, li, sel_start, sel_end - sel_start)
+
+        def region_view(global_sel_start, global_sel_end):
+            return region[tuple(
+                slice(int(s - r), int(e - r))
+                for s, e, r in zip(global_sel_start, global_sel_end,
+                                   region_start))]
 
         # Weak original seed?
-        if not (seed_host[pos] >= self.options.move_threshold):
+        seed_at_start = region[tuple(int(p - r) for p, r in
+                                     zip(pos, region_start))]
+        if not (seed_at_start >= self.options.move_threshold):
             if self.segmentation[pos] == 0:
                 self.segmentation[pos] = -1
             self.log_info("lane %d: failed, weak seed", li)
@@ -340,12 +355,11 @@ class BatchCanvas:
                 t_seg * MSEC_IN_SEC)
             return
 
-        sel = tuple(
-            slice(max(int(s), 0), int(e) + 1)
-            for s, e in zip(lane.min_pos - self._pred_size // 2,
-                            lane.max_pos + self._pred_size // 2))
+        sel = tuple(slice(int(s), int(e))
+                    for s, e in zip(sel_start, sel_end))
         with np.errstate(invalid="ignore"):
-            mask = seed_host[sel] >= self.options.segment_threshold
+            mask = region_view(sel_start, sel_end) >= \
+                self.options.segment_threshold
         raw_segmented_voxels = int(np.sum(mask))
 
         overlapped_ids, counts = np.unique(self.segmentation[sel][mask],
@@ -372,7 +386,7 @@ class BatchCanvas:
         self.segmentation[sel][mask] = sid
         if self.keep_probability_maps:
             self.seg_prob[sel][mask] = storage.quantize_probability(
-                expit(seed_host[sel][mask]))
+                expit(region_view(sel_start, sel_end)[mask]))
         self.overlaps[sid] = np.array([overlapped_ids, counts])
         self.origins[sid] = storage.OriginInfo(pos, num_iters, t_seg)
         self.counters["valid-time-ms"].IncrementBy(t_seg * MSEC_IN_SEC)

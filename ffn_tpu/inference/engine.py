@@ -389,3 +389,32 @@ class FloodFillEngine:
     def lane_seed(self, seeds: jax.Array, lane: int) -> np.ndarray:
         """Downloads one lane's full seed buffer (used at finalization)."""
         return np.asarray(seeds[lane])
+
+    def lane_seed_region(self, seeds: jax.Array, lane: int, start_zyx,
+                         size_zyx):
+        """Downloads a sub-box of one lane's seed buffer.
+
+        Sizes are bucketed to multiples of 64 (clipped to the volume) so
+        only a handful of region shapes ever compile; returns
+        (region ndarray, actual_start) where actual_start accounts for the
+        dynamic_slice clamping near volume edges.
+        """
+        shape = seeds.shape[1:]
+        bucket = tuple(min(s, ((int(v) + 63) // 64) * 64)
+                       for v, s in zip(size_zyx, shape))
+        start = np.minimum(np.maximum(np.asarray(start_zyx, np.int64), 0),
+                           np.array(shape) - np.array(bucket))
+
+        cache = getattr(self, "_region_fns", None)
+        if cache is None:
+            cache = self._region_fns = {}
+        if bucket not in cache:
+            def fn(seeds, lane, start, _bucket=bucket):
+                lane_buf = jax.lax.dynamic_index_in_dim(
+                    seeds, lane, axis=0, keepdims=False)
+                return jax.lax.dynamic_slice(lane_buf, start, _bucket)
+
+            cache[bucket] = jax.jit(fn)
+        region = cache[bucket](seeds, jnp.int32(lane),
+                               jnp.asarray(start, jnp.int32))
+        return np.asarray(region), start

@@ -65,6 +65,7 @@ class BatchCanvas:
 
     def __init__(self, model_info, engine, image, options,
                  lanes: int = 8, candidates_per_step: int = 4,
+                 max_iters_per_segment: int = 0,
                  voxel_size_zyx=(1, 1, 1), counters=None, restrictor=None,
                  corner_zyx=None, keep_probability_maps=False):
         self.engine = engine
@@ -72,6 +73,10 @@ class BatchCanvas:
         self.voxel_size_zyx = voxel_size_zyx
         self.lanes = lanes
         self.K = candidates_per_step
+        # Safety valve for runaway objects (0 = unlimited, the reference
+        # semantics): a lane exceeding this many FFN iterations is
+        # finalized with whatever it has filled.
+        self.max_iters_per_segment = max_iters_per_segment
 
         self.options = inference_pb2.InferenceOptions()
         self.options.CopyFrom(options)
@@ -103,6 +108,7 @@ class BatchCanvas:
 
         self.origins = {}
         self.overlaps = {}
+        self._deferred = []  # seeds postponed due to an active lane nearby
         self._max_id = 0
         self.global_to_local_ids = {}
         self.local_to_global_ids = {}
@@ -145,6 +151,21 @@ class BatchCanvas:
         rel = np.asarray(pos) - lane.start_pos
         d = self._deltas_zyx
         return tuple((rel + d // 2) // np.maximum(d, 1))
+
+    def _near_active_lane(self, pos) -> bool:
+        """Whether `pos` lies within the current working bbox of a running
+        lane. Seeding there would duplicate that lane's flood fill (the
+        serial canvas never starts inside a region it just segmented);
+        such seeds are deferred until the lane finalizes."""
+        p = np.asarray(pos)
+        for lane in self._lanes:
+            if lane.state != _RUNNING:
+                continue
+            lo = lane.min_pos - self._pred_size
+            hi = lane.max_pos + self._pred_size
+            if np.all(p >= lo) and np.all(p <= hi):
+                return True
+        return False
 
     def _valid_seed_pos(self, pos) -> bool:
         """Seed-level filters from Canvas.segment_all (:559-581)."""
@@ -190,18 +211,41 @@ class BatchCanvas:
                 reset_mask = np.zeros(B, bool)
                 reset_pos = np.zeros((B, 3), np.int32)
                 for li, lane in enumerate(self._lanes):
-                    if lane.state != _IDLE or seeds_exhausted:
+                    if lane.state != _IDLE:
                         continue
-                    while True:
+                    pos = None
+                    # Retry seeds deferred earlier (region was being
+                    # flooded by another lane at the time).
+                    still_deferred = []
+                    for cand in self._deferred:
+                        if pos is not None:
+                            still_deferred.append(cand)
+                        elif not self._valid_seed_pos(cand):
+                            pass  # permanently rejected
+                        elif self._near_active_lane(cand):
+                            still_deferred.append(cand)
+                        else:
+                            pos = cand
+                    self._deferred = still_deferred
+                    while pos is None and not seeds_exhausted:
                         try:
-                            pos = next(seed_iter)
+                            cand = next(seed_iter)
                         except StopIteration:
                             seeds_exhausted = True
                             break
-                        if self._valid_seed_pos(pos):
-                            break
-                    if seeds_exhausted:
-                        break
+                        if not self._valid_seed_pos(cand):
+                            continue
+                        if self._near_active_lane(cand):
+                            # A running lane is already flooding this
+                            # region; retry once it finalizes (usually
+                            # rejected as already-segmented then —
+                            # matching the serial ordering — but must
+                            # not be dropped).
+                            self._deferred.append(cand)
+                            continue
+                        pos = cand
+                    if pos is None:
+                        continue
                     lane.state = _RUNNING
                     lane.start_pos = np.array(pos)
                     lane.queue = []
@@ -228,6 +272,11 @@ class BatchCanvas:
                     ignore[li] = False
                     candidates[li] = safe_pos
                     if lane.state != _RUNNING:
+                        continue
+                    if (self.max_iters_per_segment > 0 and
+                            lane.num_iters >= self.max_iters_per_segment):
+                        self.counters["iter-cap-hit"].Increment()
+                        self._finalize(li, lane)
                         continue
                     # Re-validate held-over candidates: the reference checks
                     # dedup/segmentation at pop time, i.e. after every

@@ -57,6 +57,9 @@ class Runner:
 
     def __init__(self):
         self.counters = Counters()
+        # Extra kwargs merged into every canvas construction (e.g.
+        # max_iters_per_segment for BatchCanvas).
+        self.canvas_defaults = {}
         self.executor = None  # kept for API compat; unused (no executor tier)
         self.engine: Optional[engine_lib.FloodFillEngine] = None
         self.canvases = {}
@@ -232,7 +235,7 @@ class Runner:
                 counters=subvol_counters,
                 restrictor=restrictor,
                 corner_zyx=dst_corner,
-                **canvas_kwargs)
+                **{**self.canvas_defaults, **canvas_kwargs})
         else:
             canvas = canvas_lib.Canvas(
                 self._model_info, self.engine, image,

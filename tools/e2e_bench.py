@@ -106,9 +106,13 @@ inference_options {{
         request.model_name = "convstack_3d.TunedConvStack"
 
     runner = runner_lib.Runner()
+    max_iters = int(os.environ.get("E2E_MAX_ITERS", "2000"))
+    if max_iters:
+        runner.canvas_defaults["max_iters_per_segment"] = max_iters
     t0 = time.time()
     runner.start(request)
     t_start = time.time() - t0
+    print(f"runner.start: {t_start:.1f}s", flush=True)
 
     t0 = time.time()
     canvas = runner.run((0, 0, 0), (size, size, size),

@@ -40,14 +40,14 @@ def main():
     from ffn_tpu.inference import engine as engine_lib
     from ffn_tpu.models import convstack_3d
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     canvas = int(os.environ.get("BENCH_CANVAS", "250"))
     precision = (jax.lax.Precision.HIGHEST
                  if os.environ.get("BENCH_PRECISION") == "highest"
                  else None)
-    dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bf16"
-             else jnp.float32)
+    dtype = (jnp.float32 if os.environ.get("BENCH_DTYPE") == "f32"
+             else jnp.bfloat16)
 
     model = convstack_3d.ConvStack3DFFNModel(
         fov_size=[33, 33, 33], deltas=[8, 8, 8], depth=12, features=32,

@@ -152,20 +152,28 @@ class BatchCanvas:
         d = self._deltas_zyx
         return tuple((rel + d // 2) // np.maximum(d, 1))
 
-    def _near_active_lane(self, pos) -> bool:
-        """Whether `pos` lies within the current working bbox of a running
-        lane. Seeding there would duplicate that lane's flood fill (the
-        serial canvas never starts inside a region it just segmented);
-        such seeds are deferred until the lane finalizes."""
-        p = np.asarray(pos)
+    def _active_lane_boxes(self):
+        """(N, 2, 3) array of [lo, hi] claim bboxes of running lanes."""
+        boxes = []
         for lane in self._lanes:
             if lane.state != _RUNNING:
                 continue
-            lo = lane.min_pos - self._pred_size
-            hi = lane.max_pos + self._pred_size
-            if np.all(p >= lo) and np.all(p <= hi):
-                return True
-        return False
+            boxes.append((lane.min_pos - self._pred_size // 2,
+                          lane.max_pos + self._pred_size // 2))
+        if not boxes:
+            return np.zeros((0, 2, 3), np.int64)
+        return np.array(boxes)
+
+    def _near_active(self, positions, boxes) -> np.ndarray:
+        """(N,) bool: positions inside any running lane's claim bbox.
+        Seeding there would duplicate that lane's flood fill; such seeds
+        are deferred until the lane finalizes."""
+        if not len(boxes) or not len(positions):
+            return np.zeros(len(positions), bool)
+        p = np.asarray(positions)[:, None, :]          # (N, 1, 3)
+        lo = boxes[None, :, 0, :]                      # (1, L, 3)
+        hi = boxes[None, :, 1, :]
+        return np.any(np.all((p >= lo) & (p <= hi), axis=2), axis=1)
 
     def _valid_seed_pos(self, pos) -> bool:
         """Seed-level filters from Canvas.segment_all (:559-581)."""
@@ -210,24 +218,37 @@ class BatchCanvas:
                 # 1. Assign fresh seeds to idle lanes.
                 reset_mask = np.zeros(B, bool)
                 reset_pos = np.zeros((B, 3), np.int32)
-                for li, lane in enumerate(self._lanes):
-                    if lane.state != _IDLE:
-                        continue
-                    pos = None
-                    # Retry seeds deferred earlier (region was being
-                    # flooded by another lane at the time).
-                    still_deferred = []
-                    for cand in self._deferred:
-                        if pos is not None:
-                            still_deferred.append(cand)
-                        elif not self._valid_seed_pos(cand):
-                            pass  # permanently rejected
-                        elif self._near_active_lane(cand):
-                            still_deferred.append(cand)
-                        else:
-                            pos = cand
-                    self._deferred = still_deferred
-                    while pos is None and not seeds_exhausted:
+                idle = [li for li, lane in enumerate(self._lanes)
+                        if lane.state == _IDLE]
+                available = []
+
+                def near_available(cand):
+                    # Two seeds assigned in the same round must not target
+                    # the same region either (consecutive seeds cluster).
+                    for picked in available:
+                        if np.all(np.abs(np.asarray(cand)
+                                         - picked) <= self._pred_size):
+                            return True
+                    return False
+
+                if idle:
+                    boxes = self._active_lane_boxes()
+                    # Retry seeds deferred earlier (their region was being
+                    # flooded by another lane at the time). One vectorized
+                    # screen per round.
+                    if self._deferred:
+                        deferred = np.array(self._deferred)
+                        near = self._near_active(deferred, boxes)
+                        still = []
+                        for cand, n in zip(self._deferred, near):
+                            if len(available) >= len(idle) or n or \
+                                    near_available(cand):
+                                still.append(cand)
+                            elif self._valid_seed_pos(tuple(cand)):
+                                available.append(tuple(cand))
+                        self._deferred = still
+                    while len(available) < len(idle) and not \
+                            seeds_exhausted:
                         try:
                             cand = next(seed_iter)
                         except StopIteration:
@@ -235,17 +256,22 @@ class BatchCanvas:
                             break
                         if not self._valid_seed_pos(cand):
                             continue
-                        if self._near_active_lane(cand):
-                            # A running lane is already flooding this
-                            # region; retry once it finalizes (usually
-                            # rejected as already-segmented then —
-                            # matching the serial ordering — but must
-                            # not be dropped).
+                        if self._near_active(np.array([cand]), boxes)[0] \
+                                or near_available(cand):
+                            # A running lane (or a seed picked this round)
+                            # is already flooding this region; retry once
+                            # it finalizes (usually rejected as already-
+                            # segmented then — matching serial ordering —
+                            # but not dropped).
                             self._deferred.append(cand)
                             continue
-                        pos = cand
-                    if pos is None:
-                        continue
+                        available.append(tuple(cand))
+
+                for li in idle:
+                    if not available:
+                        break
+                    lane = self._lanes[li]
+                    pos = available.pop(0)
                     lane.state = _RUNNING
                     lane.start_pos = np.array(pos)
                     lane.queue = []

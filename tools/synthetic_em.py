@@ -75,11 +75,14 @@ def object_level_agreement(seg_a: np.ndarray, seg_b: np.ndarray,
     counts = labels_lib.compute_overlap_counts(seg_a, seg_b)
     totals_a = {}
     totals_b = {}
+    best = {}  # a -> (count, b) over nonzero b
     for (a, b), c in counts.items():
         if a:
             totals_a[a] = totals_a.get(a, 0) + c
         if b:
             totals_b[b] = totals_b.get(b, 0) + c
+        if a and b and c > best.get(a, (0, None))[0]:
+            best[a] = (c, b)
 
     matched = 0
     considered = 0
@@ -87,10 +90,7 @@ def object_level_agreement(seg_a: np.ndarray, seg_b: np.ndarray,
         if total < min_size:
             continue
         considered += 1
-        best_b, best_c = None, 0
-        for (aa, b), c in counts.items():
-            if aa == a and b and c > best_c:
-                best_b, best_c = b, c
+        best_c, best_b = best.get(a, (0, None))
         if best_b is None:
             continue
         if best_c / total >= 0.5 and best_c / totals_b[best_b] >= 0.5:

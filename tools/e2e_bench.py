@@ -10,7 +10,9 @@ P100 for training2 250^3) plus an object-level agreement proxy against
 the phantom's ground truth.
 
 Env knobs: E2E_SIZE (default 250), E2E_LANES (default 64),
-E2E_DTYPE (f32|bf16, default bf16), E2E_PRECISION (default|highest).
+E2E_DTYPE (f32|bf16, default bf16), E2E_PRECISION (default|highest),
+E2E_CKPT (checkpoint path; default the shipped fib25 TF1 checkpoint),
+E2E_DEPTH (default 12), E2E_MAX_ITERS (default 2000, 0 = unlimited).
 """
 
 import json
@@ -60,7 +62,11 @@ def main():
     out_dir = os.path.join(
         workdir, f"seg_{size}_{lanes}_{dtype}_{precision}_{time.time():.0f}")
 
-    model_args = {"depth": 12, "fov_size": [33, 33, 33],
+    ckpt = os.environ.get(
+        "E2E_CKPT",
+        "/root/reference/models/fib25/model.ckpt-27465036")
+    depth = int(os.environ.get("E2E_DEPTH", "12"))
+    model_args = {"depth": depth, "fov_size": [33, 33, 33],
                   "deltas": [8, 8, 8]}
     if dtype == "bf16":
         model_args["dtype"] = "bfloat16"
@@ -71,7 +77,7 @@ image {{ hdf5: "{vol_path}:raw" }}
 image_mean: 128
 image_stddev: 33
 seed_policy: "PolicyPeaks"
-model_checkpoint_path: "/root/reference/models/fib25/model.ckpt-27465036"
+model_checkpoint_path: "{ckpt}"
 model_name: "convstack_3d.ConvStack3DFFNModel"
 segmentation_output_dir: "{out_dir}"
 concurrent_requests: {lanes}

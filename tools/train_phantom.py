@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Trains an FFN on the synthetic EM phantom, end to end:
+
+  phantom generation -> compute_partitions -> build_coordinates ->
+  scan-trainer on TPU -> npz checkpoint
+
+The resulting checkpoint feeds tools/e2e_bench.py (E2E_CKPT=...) for a
+full-quality headline run: unlike the fib25 net (trained on real FIB-25
+EM), a phantom-trained net respects the phantom's membranes, so the
+benchmark measures both speed and segmentation quality.
+
+Env knobs: PH_SIZE (train volume, default 200), PH_STEPS (default 3000),
+PH_BATCH (default 8), PH_DEPTH (default 12), PH_WORKDIR.
+"""
+
+import json
+import os
+import sys
+import time
+
+import h5py
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tools import synthetic_em
+    from ffn_tpu.training import optimizer as optimizer_lib
+    from ffn_tpu.training import partitions
+    from ffn_tpu.training import train_lib, train_loop
+
+    size = int(os.environ.get("PH_SIZE", "200"))
+    steps = int(os.environ.get("PH_STEPS", "3000"))
+    batch = int(os.environ.get("PH_BATCH", "8"))
+    depth = int(os.environ.get("PH_DEPTH", "12"))
+    workdir = os.environ.get("PH_WORKDIR", "/tmp/ffn_tpu_phantom_train")
+    os.makedirs(workdir, exist_ok=True)
+
+    vol_path = os.path.join(workdir, f"train_{size}.h5")
+    if not os.path.exists(vol_path):
+        print("generating training phantom...", flush=True)
+        # Different RNG seed than the eval phantom in e2e_bench.
+        image, gt = synthetic_em.make_volume(size=size, seed=7,
+                                             num_cells=max(
+                                                 8, int(120 * (size / 250)
+                                                        ** 3)))
+        with h5py.File(vol_path, "w") as f:
+            f.create_dataset("raw", data=image)
+            f.create_dataset("seg", data=gt.astype(np.uint64))
+
+    coords_path = os.path.join(workdir, "coords.npz")
+    if not os.path.exists(coords_path):
+        print("computing partitions + coordinates...", flush=True)
+        with h5py.File(vol_path, "r") as f:
+            seg = f["seg"][...]
+        lom_radius = (24, 24, 24)  # fov//2 + deltas
+        corner, parts = partitions.compute_partitions(
+            seg.astype(np.uint64),
+            thresholds=[0.025, 0.05, 0.075, 0.1, 0.2, 0.3, 0.4, 0.5,
+                        0.6, 0.7, 0.8, 0.9],
+            lom_radius=lom_radius, min_size=1000)
+        # Class-balanced resampled coordinate list (margin = lom radius
+        # inside the VALID-cropped partition map, like build_coordinates).
+        rng = np.random.RandomState(0)
+        totals = {}
+        rows = {}
+        for val in np.unique(parts):
+            if val in (0, 255):
+                continue
+            flat = np.flatnonzero(parts == val)
+            totals[val] = len(flat)
+            rows[val] = flat
+        max_count = max(totals.values())
+        all_rows = []
+        for val, flat in rows.items():
+            flat = flat[rng.permutation(len(flat))]
+            reps = -(-max_count // len(flat))
+            all_rows.append(np.tile(flat, reps)[:max_count])
+        all_rows = np.concatenate(all_rows)
+        rng.shuffle(all_rows)
+        z, y, x = np.unravel_index(all_rows, parts.shape)
+        centers = np.stack([x + corner[0], y + corner[1], z + corner[2]],
+                           axis=1).astype(np.int64)
+        np.savez_compressed(
+            coords_path, center=centers,
+            label_volume_name=np.array(["v"] * len(centers)))
+        print(f"{len(centers)} coordinates", flush=True)
+
+    config = train_lib.TrainConfig(
+        fov_size=(33, 33, 33), deltas=(8, 8, 8), depth=depth, features=32,
+        batch_size=batch,
+        optimizer=optimizer_lib.OptimizerConfig(optimizer="adam",
+                                                learning_rate=1e-3))
+    data = train_loop.DataConfig(
+        train_coords=coords_path,
+        data_volumes=f"v:{vol_path}:raw",
+        label_volumes=f"v:{vol_path}:seg",
+        image_mean=128.0, image_stddev=33.0)
+    loop = train_loop.LoopConfig(
+        train_dir=os.path.join(workdir, "train"),
+        max_steps=steps, summary_every_steps=50,
+        checkpoint_every_steps=500)
+
+    t0 = time.time()
+    summaries = train_loop.run_training(
+        "convstack_3d.ConvStack3DFFNModel",
+        json.dumps({"depth": depth, "fov_size": [33, 33, 33],
+                    "deltas": [8, 8, 8]}),
+        config, data, loop)
+    wall = time.time() - t0
+    print(json.dumps({
+        "metric": "phantom_training",
+        "steps": steps, "batch": batch, "depth": depth,
+        "wall_s": round(wall, 1),
+        "steps_per_s": round(steps / wall, 2),
+        "fov_updates_per_s": round(steps * batch * 27 / wall, 1),
+        **{k: round(float(v), 4) for k, v in summaries.items()
+           if k in ("eval/patch_loss", "eval/f1", "moves/correct",
+                    "moves/spurious", "moves/missed")},
+    }))
+    print("checkpoint dir:", os.path.join(workdir, "train", "ckpt"))
+
+
+if __name__ == "__main__":
+    main()

@@ -138,6 +138,26 @@ class EvalTracker:
                 [lab2d, pred2d, w2d], axis=1)
             images.append((coord, side_by_side))
 
+    def slice_image_pngs(self):
+        """Renders the recorded label|prediction|weights slice panels as
+        PNG byte strings (the reference's tracker image summaries,
+        tracker.py:169-257), tagged final_xy/final_xz/final_yz."""
+        from PIL import Image
+        import io
+
+        out = {}
+        for tag, images in (("final_xy", self.images_xy),
+                            ("final_xz", self.images_xz),
+                            ("final_yz", self.images_yz)):
+            rendered = []
+            for coord, panel in images:
+                arr = np.clip(panel * 255.0, 0, 255).astype(np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format="png")
+                rendered.append((coord, buf.getvalue()))
+            out[tag] = rendered
+        return out
+
     # -- summaries -------------------------------------------------------------
 
     def get_summaries(self) -> dict:

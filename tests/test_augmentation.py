@@ -121,3 +121,30 @@ def test_normalize_image_nan_channel():
     assert rgb[1, 0, 1] == 1.0  # nan -> green
     assert rgb[0, 0, 2] > 0     # positive -> blue
     assert rgb[0, 1, 0] > 0     # negative -> red
+
+
+def test_tracker_slice_images():
+    from scipy.special import logit as _logit
+    from ffn_tpu.training import tracker as tracker_lib
+    tr = tracker_lib.EvalTracker((9, 9, 9), image_summaries=True)
+    labels = np.random.RandomState(0).rand(1, 9, 9, 9, 1)
+    logits = np.random.RandomState(1).randn(1, 9, 9, 9, 1)
+    tr.add_patch(labels, logits, np.ones_like(labels), coord=(1, 2, 3))
+    pngs = tr.slice_image_pngs()
+    assert set(pngs) == {"final_xy", "final_xz", "final_yz"}
+    for tag, images in pngs.items():
+        assert len(images) == 1
+        coord, png = images[0]
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_find_peaks_deterministic():
+    """The seeded noise makes peak ordering reproducible run-to-run."""
+    from ffn_tpu.ops import peaks as peaks_lib
+    dt = np.random.RandomState(5).rand(30, 30, 30).astype(np.float32)
+    a = peaks_lib.find_peaks_with_noise(dt, min_distance=3,
+                                        threshold_abs=0, threshold_rel=0)
+    b = peaks_lib.find_peaks_with_noise(dt, min_distance=3,
+                                        threshold_abs=0, threshold_rel=0)
+    np.testing.assert_array_equal(a, b)
+    assert len(a) > 0

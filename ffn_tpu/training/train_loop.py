@@ -188,6 +188,109 @@ def run_training(model_name: str, model_args: str,
     return summaries
 
 
+def run_training_host_loop(model_name: str, model_args: str,
+                           config: train_lib.TrainConfig, data: DataConfig,
+                           loop: LoopConfig) -> dict:
+    """Host-loop trainer: reference-exact stepping (one jitted fwd/bwd per
+    FOV batch, host seed write-back through the example engine).
+
+    Compiles a far smaller program than the scan trainer — preferable on
+    backends with slow compilation — at the cost of one host round trip
+    per FOV move.
+    """
+    import jax.numpy as jnp
+    from scipy.special import logit as np_logit
+
+    from ffn_tpu.models import model_info as mi
+    from ffn_tpu.training import examples as examples_lib
+    from ffn_tpu.training import tracker as tracker_lib
+
+    model_cls = registry.import_symbol(model_name)
+    kwargs = json.loads(model_args) if model_args else {}
+    model = model_cls(**kwargs)
+    info = model.info
+
+    tx = optimizer_lib.optimizer_from_config(config.optimizer)
+    params = model.init_params()
+    opt_state = tx.init(params)
+    step_fn = train_lib.make_fov_train_step(model, tx)
+
+    canvas_zyx = tuple(int(v) for v in
+                       train_lib.train_canvas_size(info, config)[::-1])
+    image_zyx = tuple(int(v) for v in
+                      train_lib.train_image_size(info, config)[::-1])
+    label_zyx = tuple(int(v) for v in
+                      train_lib.train_labels_size(info, config)[::-1])
+    eval_shape = tuple(int(v) for v in
+                       train_lib.train_eval_size(info, config)[::-1])
+    tracker = tracker_lib.EvalTracker(
+        eval_shape, shifts_xyz=mi.shift_collection(info.deltas))
+
+    rng = np.random.RandomState(loop.random_seed)
+    transform = augmentation.PermuteAndReflect(
+        rank=5, permutable_axes=[a + 1 for a in data.permutable_axes],
+        reflectable_axes=[a + 1 for a in data.reflectable_axes], rng=rng)
+
+    def augment(image, labels, weights):
+        perm, flips = transform.sample()
+        return (transform.apply(image, perm, flips),
+                transform.apply(labels, perm, flips),
+                transform.apply(weights, perm, flips))
+
+    loader = inputs_lib.ExampleLoader(
+        data.train_coords,
+        image_volume_map=inputs_lib.parse_volume_map(data.data_volumes),
+        label_volume_map=inputs_lib.parse_volume_map(data.label_volumes),
+        image_size_xyz=image_zyx[::-1], label_size_xyz=label_zyx[::-1],
+        image_mean=data.image_mean, image_stddev=data.image_stddev,
+        augment=augment, seed=loop.random_seed)
+    loader = inputs_lib.PrefetchingLoader(loader,
+                                          capacity=4 * config.batch_size)
+
+    threshold = float(np_logit(config.threshold))
+    shifts = mi.shift_collection(info.deltas)
+
+    def load_example():
+        img, lab, w, coord, name = loader()
+        # crop to canvas sizes expected by the example engine
+        return img, lab, w, coord, name
+
+    def make_gen():
+        return examples_lib.get_example(
+            load_example, tracker, info,
+            lambda i, s, l, t: examples_lib.fixed_offsets(
+                i, s, l, t, threshold=threshold, fov_shifts=shifts),
+            seed_pad=config.seed_pad, seed_shape=canvas_zyx)
+
+    batch_it = examples_lib.BatchExampleIter(
+        make_gen, tracker, config.batch_size, info)
+
+    os.makedirs(loop.train_dir, exist_ok=True)
+    ckpt_dir = os.path.join(loop.train_dir, "ckpt")
+    t_last = time.time()
+    summaries = {}
+    for step in range(loop.max_steps):
+        seeds, images, labels, weights = next(batch_it)
+        params, opt_state, logits, loss = step_fn(
+            params, opt_state, jnp.asarray(seeds), jnp.asarray(images),
+            jnp.asarray(labels), jnp.asarray(weights))
+        batch_it.update_seeds(np.asarray(logits))
+
+        if (step + 1) % loop.summary_every_steps == 0:
+            summaries = tracker.get_summaries()
+            dt = time.time() - t_last
+            t_last = time.time()
+            logging.info("step %d loss %.4f moves/correct %.3f "
+                         "(%.2f steps/s)", step + 1, float(loss),
+                         summaries["moves/correct"],
+                         loop.summary_every_steps / dt)
+            _write_summaries(loop.train_dir, step + 1, summaries)
+        if (step + 1) % loop.checkpoint_every_steps == 0 or \
+                step + 1 == loop.max_steps:
+            _save(ckpt_dir, step + 1, params, opt_state)
+    return summaries
+
+
 def _update_tracker(tracker, metrics, offsets, labels, out_seeds, weights):
     """Feeds device-computed per-offset stats into the host tracker."""
     correct = np.asarray(metrics["correct"])

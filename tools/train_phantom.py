@@ -111,8 +111,11 @@ def main():
         max_steps=steps, summary_every_steps=50,
         checkpoint_every_steps=500)
 
+    trainer = os.environ.get("PH_TRAINER", "host_loop")
     t0 = time.time()
-    summaries = train_loop.run_training(
+    run = (train_loop.run_training_host_loop if trainer == "host_loop"
+           else train_loop.run_training)
+    summaries = run(
         "convstack_3d.ConvStack3DFFNModel",
         json.dumps({"depth": depth, "fov_size": [33, 33, 33],
                     "deltas": [8, 8, 8]}),

@@ -56,6 +56,11 @@ flags.DEFINE_integer("checkpoint_every_steps", 1000,
                      "Steps between checkpoints.")
 flags.DEFINE_float("ema_decay", 0.0, "EMA decay for params (0 disables).")
 flags.DEFINE_integer("random_seed", 0, "Seed for sampling/augmentation.")
+flags.DEFINE_enum("trainer", "scan", ["scan", "host_loop"],
+                  "scan: whole example fused into one XLA program "
+                  "(fastest on TPU); host_loop: reference-style per-FOV "
+                  "stepping (smaller compile, supports data-dependent "
+                  "policies).")
 
 # Optimizer flags (reference ffn/training/optimizer.py surface).
 flags.DEFINE_enum("optimizer", "sgd",
@@ -118,8 +123,12 @@ def main(argv):
         checkpoint_every_steps=FLAGS.checkpoint_every_steps,
         random_seed=FLAGS.random_seed)
 
-    train_loop.run_training(FLAGS.model_name, FLAGS.model_args or "",
-                            config, data, loop)
+    if FLAGS.trainer == "host_loop":
+        train_loop.run_training_host_loop(
+            FLAGS.model_name, FLAGS.model_args or "", config, data, loop)
+    else:
+        train_loop.run_training(FLAGS.model_name, FLAGS.model_args or "",
+                                config, data, loop)
 
 
 if __name__ == "__main__":

@@ -50,7 +50,10 @@ def make_volume(size: int = 250, num_cells: int = 120,
         vals = membrane_value + (interior_value - membrane_value) * membrane
         shape = (z1 - z0, size, size)
         image[z0:z1] = vals.reshape(shape)
-        labels[z0:z1] = (nearest + 1).reshape(shape)
+        # Ground truth leaves the membrane unlabeled (label 0), like real
+        # EM ground truth — cells are the interiors only.
+        labels[z0:z1] = np.where(membrane >= 0.5, nearest + 1,
+                                 0).reshape(shape)
 
     # Organelle-like low-frequency texture inside cells (not on membranes).
     texture = ndimage.gaussian_filter(

@@ -102,3 +102,26 @@ def test_build_coordinates_and_train(dataset):
     params = runner_lib.load_model_params(
         f"{dataset}/train/ckpt/model.ckpt-3.npz")
     assert "params" in params and "conv_lom" in params["params"]
+
+
+def test_train_cli_host_loop(dataset):
+    if not os.path.exists(f"{dataset}/coords.npz"):
+        test_build_coordinates_and_train(dataset)
+    model_args = json.dumps({"depth": 1, "features": 2,
+                             "fov_size": [9, 9, 9], "deltas": [2, 2, 2]})
+    result = run_tool([
+        "train.py", "--trainer=host_loop",
+        f"--train_coords={dataset}/coords.npz",
+        f"--data_volumes=v:{dataset}/data.h5:img",
+        f"--label_volumes=v:{dataset}/data.h5:seg",
+        f"--model_args={model_args}",
+        f"--train_dir={dataset}/train_hl",
+        "--image_mean=128", "--image_stddev=33",
+        "--batch_size=2", "--max_steps=3",
+        "--summary_every_steps=1", "--checkpoint_every_steps=3"],
+        timeout=1200)
+    assert result.returncode == 0, result.stderr[-3000:]
+    summaries = [json.loads(l) for l in
+                 open(f"{dataset}/train_hl/summaries.jsonl")]
+    assert summaries[-1]["step"] == 3
+    assert os.path.exists(f"{dataset}/train_hl/ckpt/model.ckpt-3.npz")

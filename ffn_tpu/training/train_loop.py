@@ -267,9 +267,17 @@ def run_training_host_loop(model_name: str, model_args: str,
 
     os.makedirs(loop.train_dir, exist_ok=True)
     ckpt_dir = os.path.join(loop.train_dir, "ckpt")
+
+    start_step = 0
+    latest = _latest_checkpoint(ckpt_dir)
+    if latest is not None:
+        start_step = latest
+        params, opt_state = _restore(ckpt_dir, latest, opt_state)
+        logging.info("Resumed from step %d", start_step)
+
     t_last = time.time()
     summaries = {}
-    for step in range(loop.max_steps):
+    for step in range(start_step, loop.max_steps):
         seeds, images, labels, weights = next(batch_it)
         params, opt_state, logits, loss = step_fn(
             params, opt_state, jnp.asarray(seeds), jnp.asarray(images),

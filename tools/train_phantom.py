@@ -40,6 +40,14 @@ def main():
     from ffn_tpu.training import train_lib, train_loop
 
     size = int(os.environ.get("PH_SIZE", "200"))
+    init = os.environ.get("PH_INIT", "ref")
+    if init == "he":
+        # He init escapes the deep-residual identity plateau far faster
+        # than the reference's TruncatedNormal(0.01) (see RESULTS.md);
+        # same compiled program, different starting params.
+        import flax.linen as nn
+        from ffn_tpu.models import convstack_3d
+        convstack_3d._KERNEL_INIT = nn.initializers.he_normal()
     steps = int(os.environ.get("PH_STEPS", "3000"))
     batch = int(os.environ.get("PH_BATCH", "8"))
     depth = int(os.environ.get("PH_DEPTH", "12"))
@@ -106,10 +114,12 @@ def main():
         data_volumes=f"v:{vol_path}:raw",
         label_volumes=f"v:{vol_path}:seg",
         image_mean=128.0, image_stddev=33.0)
+    train_dir = os.environ.get("PH_TRAIN_DIR",
+                               os.path.join(workdir, "train"))
     loop = train_loop.LoopConfig(
-        train_dir=os.path.join(workdir, "train"),
+        train_dir=train_dir,
         max_steps=steps, summary_every_steps=50,
-        checkpoint_every_steps=500)
+        checkpoint_every_steps=int(os.environ.get("PH_CKPT_EVERY", "500")))
 
     trainer = os.environ.get("PH_TRAINER", "host_loop")
     t0 = time.time()
@@ -131,7 +141,7 @@ def main():
            if k in ("eval/patch_loss", "eval/f1", "moves/correct",
                     "moves/spurious", "moves/missed")},
     }))
-    print("checkpoint dir:", os.path.join(workdir, "train", "ckpt"))
+    print("checkpoint dir:", os.path.join(train_dir, "ckpt"))
 
 
 if __name__ == "__main__":

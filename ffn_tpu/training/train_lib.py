@@ -42,6 +42,7 @@ from scipy.special import logit as np_logit
 
 from ffn_tpu.models import model_info as model_info_lib
 from ffn_tpu.training import optimizer as optimizer_lib
+from ffn_tpu.training import precision as precision_lib
 
 
 @dataclasses.dataclass
@@ -61,6 +62,13 @@ class TrainConfig:
     image_stddev: float = 33.0
     shuffle_fov_moves: bool = False
     ema_decay: float = 0.0      # 0 disables EMA params
+    # Mixed precision: "f32" | "bf16" (MXU-native) | "f16" (dynamic loss
+    # scaling). Params always stay f32; see training/precision.py.
+    precision: str = "f32"
+    # Rematerialize the forward pass in the backward (jax.checkpoint):
+    # trades ~33% more FLOPs for O(depth) less activation memory, allowing
+    # larger batch on a fixed HBM budget.
+    remat: bool = False
     optimizer: optimizer_lib.OptimizerConfig = dataclasses.field(
         default_factory=optimizer_lib.OptimizerConfig)
 
@@ -117,6 +125,7 @@ class ScanTrainState:
     opt_state: Any
     ema_params: Any
     step: int
+    scale_state: Any = None   # loss-scale pytree (precision.py)
 
 
 def create_train_state(model, config: TrainConfig, rng=None
@@ -125,8 +134,11 @@ def create_train_state(model, config: TrainConfig, rng=None
     tx = optimizer_lib.optimizer_from_config(config.optimizer)
     opt_state = tx.init(params)
     ema = params if config.ema_decay > 0 else None
+    policy = precision_lib.get_policy(config.precision)
     return ScanTrainState(params=params, opt_state=opt_state,
-                          ema_params=ema, step=0), tx
+                          ema_params=ema, step=0,
+                          scale_state=precision_lib.loss_scale_for(policy)
+                          ), tx
 
 
 def make_scan_train_step(model, tx: optax.GradientTransformation,
@@ -135,13 +147,19 @@ def make_scan_train_step(model, tx: optax.GradientTransformation,
     """Builds the jitted scan train step.
 
     Step signature:
-      (params, opt_state, ema_params, seeds, images, labels, weights,
-       offsets) -> (params, opt_state, ema_params, seeds, metrics)
+      (params, opt_state, ema_params, scale_state, seeds, images, labels,
+       weights, offsets)
+      -> (params, opt_state, ema_params, scale_state, seeds, metrics)
 
     seeds/images: (B, cz, cy, cx, 1) canvases (canvas = fov + 2*deltas*moves)
     labels/weights: (B, lz, ly, lx, 1) canvases (label canvas size)
+    scale_state: loss-scale pytree from create_train_state (NoOp for
+      f32/bf16 policies; DynamicLossScale for f16).
     offsets: (S, 3) int32 zyx moves, center first.
     metrics: dict of scalars + (S,) per-offset arrays for the tracker.
+
+    Non-finite gradients skip the update (and shrink the dynamic loss
+    scale), matching the reference's jmp contract (jax/train.py:195-223).
     """
     info = model.info
     fov_zyx = tuple(int(v) for v in info.input_seed_size[::-1])
@@ -150,6 +168,8 @@ def make_scan_train_step(model, tx: optax.GradientTransformation,
     move_t = float(np_logit(config.threshold))
     label_t = float(config.threshold)
     use_ema = config.ema_decay > 0
+    apply_fn = (jax.checkpoint(model.apply) if config.remat
+                else model.apply)
 
     def crop(arr, off, size_zyx):
         b = arr.shape[0]
@@ -169,7 +189,8 @@ def make_scan_train_step(model, tx: optax.GradientTransformation,
         return vals.reshape(arr.shape[0])
 
     def body(carry, off):
-        params, opt_state, ema_params, seeds, images, labels, weights = carry
+        (params, opt_state, ema_params, scale_state, seeds, images, labels,
+         weights) = carry
 
         valid = center_value(seeds, off) >= move_t          # (B,)
         wanted = center_value(labels, off) >= label_t       # (B,)
@@ -183,24 +204,28 @@ def make_scan_train_step(model, tx: optax.GradientTransformation,
         denom = jnp.maximum(valid_f.sum(), 1.0)
 
         def loss_fn(p):
-            logits = model.apply(p, img_patch,
-                                 jax.lax.stop_gradient(seed_patch))
+            logits = apply_fn(p, img_patch,
+                              jax.lax.stop_gradient(seed_patch))
             ce = sigmoid_ce(logits, lab_patch) * w_patch
             per_lane = ce.mean(axis=(1, 2, 3, 4))
             loss = (per_lane * valid_f).sum() / denom
-            return loss, logits
+            return scale_state.scale_loss(loss), (loss, logits)
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn,
-                                                   has_aux=True)(params)
+        (_, (loss, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = scale_state.unscale(grads)
+        finite = precision_lib.all_finite(grads)
+        scale_state = scale_state.adjust(finite)
+
         updates, new_opt_state = tx.update(grads, opt_state, params)
-        # No-op when no lane is active this offset.
-        any_valid = valid_f.sum() > 0
-        scale = jnp.where(any_valid, 1.0, 0.0)
-        updates = jax.tree.map(lambda u: u * scale, updates)
+        # No-op when no lane is active this offset, or grads blew up.
+        # where (not multiply): NaN updates must not poison the params.
+        do_update = (valid_f.sum() > 0) & finite
+        updates = jax.tree.map(
+            lambda u: jnp.where(do_update, u, jnp.zeros_like(u)), updates)
         new_params = optax.apply_updates(params, updates)
-        opt_state = jax.tree.map(
-            lambda new, old: jnp.where(any_valid, new, old),
-            new_opt_state, opt_state)
+        opt_state = precision_lib.select_tree(do_update, new_opt_state,
+                                              opt_state)
 
         params = new_params
         if use_ema:
@@ -227,9 +252,11 @@ def make_scan_train_step(model, tx: optax.GradientTransformation,
             "correct": jnp.sum(valid & wanted),
             "missed": jnp.sum(wanted & ~valid),
             "spurious": jnp.sum(valid & ~wanted),
+            "grads_finite": finite,
+            "loss_scale": scale_state.scale,
         }
-        return ((params, opt_state, ema_params, seeds, images, labels,
-                 weights), metrics)
+        return ((params, opt_state, ema_params, scale_state, seeds, images,
+                 labels, weights), metrics)
 
     def crop_logits_to_pred(logits):
         delta = [(f - p) // 2 for f, p in zip(fov_zyx, pred_zyx)]
@@ -237,25 +264,25 @@ def make_scan_train_step(model, tx: optax.GradientTransformation,
             logits, (0, delta[0], delta[1], delta[2], 0),
             (logits.shape[0], *pred_zyx, 1))
 
-    def train_step(params, opt_state, ema_params, seeds, images, labels,
-                   weights, offsets):
-        carry = (params, opt_state, ema_params, seeds, images, labels,
-                 weights)
+    def train_step(params, opt_state, ema_params, scale_state, seeds,
+                   images, labels, weights, offsets):
+        carry = (params, opt_state, ema_params, scale_state, seeds, images,
+                 labels, weights)
         carry, metrics = jax.lax.scan(body, carry, offsets)
-        params, opt_state, ema_params, seeds, *_ = carry
-        return params, opt_state, ema_params, seeds, metrics
+        params, opt_state, ema_params, scale_state, seeds, *_ = carry
+        return params, opt_state, ema_params, scale_state, seeds, metrics
 
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3, 4))
 
     repl = NamedSharding(mesh, P())
     batched = NamedSharding(mesh, P("data"))
     return jax.jit(
         train_step,
-        in_shardings=(repl, repl, repl, batched, batched, batched, batched,
-                      repl),
-        out_shardings=(repl, repl, repl, batched, repl),
-        donate_argnums=(0, 1, 2, 3))
+        in_shardings=(repl, repl, repl, repl, batched, batched, batched,
+                      batched, repl),
+        out_shardings=(repl, repl, repl, repl, batched, repl),
+        donate_argnums=(0, 1, 2, 3, 4))
 
 
 def make_fov_train_step(model, tx: optax.GradientTransformation,

@@ -117,6 +117,13 @@ def run_training(model_name: str, model_args: str,
     kwargs.setdefault("deltas", list(config.deltas))
     kwargs.setdefault("depth", config.depth)
     kwargs.setdefault("features", config.features)
+    if config.precision != "f32":
+        # Mixed precision: convs run in the compute dtype; params stay f32
+        # (precision.py). Drop HIGHEST so the MXU runs native bf16 passes.
+        from ffn_tpu.training import precision as precision_lib
+        policy = precision_lib.get_policy(config.precision)
+        kwargs.setdefault("dtype", policy.compute_dtype)
+        kwargs.setdefault("precision", None)
     model = model_cls(**kwargs)
     info = model.info
 
@@ -143,6 +150,7 @@ def run_training(model_name: str, model_args: str,
 
     os.makedirs(loop.train_dir, exist_ok=True)
     params, opt_state, ema = state.params, state.opt_state, state.ema_params
+    scale_state = state.scale_state
 
     # Resume from the latest checkpoint if present.
     start_step = 0
@@ -160,8 +168,8 @@ def run_training(model_name: str, model_args: str,
         seeds, images, labels, weights = next_batch()
         offsets = train_lib.fixed_offsets_zyx(
             info, shuffle=config.shuffle_fov_moves, rng=shuffle_rng)
-        params, opt_state, ema, out_seeds, metrics = step_fn(
-            params, opt_state, ema, jnp.asarray(seeds),
+        params, opt_state, ema, scale_state, out_seeds, metrics = step_fn(
+            params, opt_state, ema, scale_state, jnp.asarray(seeds),
             jnp.asarray(images), jnp.asarray(labels), jnp.asarray(weights),
             jnp.asarray(offsets))
 

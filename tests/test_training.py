@@ -10,6 +10,7 @@ from ffn_tpu.training import examples as examples_lib
 from ffn_tpu.training import inputs as inputs_lib
 from ffn_tpu.training import mask as mask_lib
 from ffn_tpu.training import optimizer as optimizer_lib
+from ffn_tpu.training import precision as precision_lib
 from ffn_tpu.training import tracker as tracker_lib
 from ffn_tpu.training import train_lib
 
@@ -105,8 +106,10 @@ def test_scan_trainer_matches_host_oracle():
     params0 = model.init_params(jax.random.PRNGKey(0))
     opt_state0 = tx.init(params0)
     step = train_lib.make_scan_train_step(model, tx, config)
-    params, opt_state, _, out_seeds, metrics = step(
-        params0, opt_state0, None, jnp.asarray(seeds.copy()),
+    scale0 = precision_lib.loss_scale_for(
+        precision_lib.get_policy(config.precision))
+    params, opt_state, _, _, out_seeds, metrics = step(
+        params0, opt_state0, None, scale0, jnp.asarray(seeds.copy()),
         jnp.asarray(images), jnp.asarray(labels), jnp.asarray(weights),
         jnp.asarray(offsets))
 
@@ -132,8 +135,8 @@ def test_scan_trainer_matches_host_oracle():
     # XLA-CPU's expensive conv-grad compile twice.)
     first = None
     for _ in range(10):
-        params, opt_state, _, _, metrics = step(
-            params, opt_state, None, jnp.asarray(seeds.copy()),
+        params, opt_state, _, _, _, metrics = step(
+            params, opt_state, None, scale0, jnp.asarray(seeds.copy()),
             jnp.asarray(images), jnp.asarray(labels), jnp.asarray(weights),
             jnp.asarray(offsets))
         losses = np.asarray(metrics["loss"])
@@ -162,8 +165,11 @@ def test_scan_trainer_sharded_mesh():
     offsets = jnp.asarray(train_lib.fixed_offsets_zyx(model.info))
     params = model.init_params(jax.random.PRNGKey(0))
     opt_state = tx.init(params)
-    params, opt_state, _, out_seeds, metrics = step(
-        params, opt_state, None, jnp.asarray(seeds), jnp.asarray(images),
+    scale0 = precision_lib.loss_scale_for(
+        precision_lib.get_policy(config.precision))
+    params, opt_state, _, _, out_seeds, metrics = step(
+        params, opt_state, None, scale0, jnp.asarray(seeds),
+        jnp.asarray(images),
         jnp.asarray(labels), jnp.asarray(weights), offsets)
     assert np.isfinite(np.asarray(metrics["loss"])).all()
     assert out_seeds.shape[0] == 8

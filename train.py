@@ -55,6 +55,14 @@ flags.DEFINE_integer("summary_every_steps", 100,
 flags.DEFINE_integer("checkpoint_every_steps", 1000,
                      "Steps between checkpoints.")
 flags.DEFINE_float("ema_decay", 0.0, "EMA decay for params (0 disables).")
+flags.DEFINE_enum("precision", "f32", ["f32", "bf16", "f16"],
+                  "Mixed-precision policy: compute dtype for the conv "
+                  "stack (params stay f32); f16 adds dynamic loss "
+                  "scaling. Equivalent to the reference's jmp policies "
+                  "(ffn/jax/train.py:195-223).")
+flags.DEFINE_boolean("remat", False,
+                     "Rematerialize forward activations in the backward "
+                     "pass (less memory, ~33% more FLOPs).")
 flags.DEFINE_integer("random_seed", 0, "Seed for sampling/augmentation.")
 flags.DEFINE_enum("trainer", "scan", ["scan", "host_loop"],
                   "scan: whole example fused into one XLA program "
@@ -94,6 +102,8 @@ def main(argv):
         threshold=FLAGS.threshold,
         shuffle_fov_moves=FLAGS.shuffle_fov_moves,
         ema_decay=FLAGS.ema_decay,
+        precision=FLAGS.precision,
+        remat=FLAGS.remat,
         image_mean=FLAGS.image_mean,
         image_stddev=FLAGS.image_stddev,
         optimizer=optimizer_lib.OptimizerConfig(

@@ -142,7 +142,8 @@ class ExampleLoader:
                  image_mean: float, image_stddev: float,
                  offset_scale_map: Optional[dict] = None,
                  augment: Optional[Callable] = None,
-                 shuffle: bool = True, seed: int = 0):
+                 shuffle: bool = True, seed: int = 0,
+                 raw: bool = False):
         self._coords = load_patch_coordinates(
             coordinates_file_pattern, shuffle=shuffle,
             rng=random.Random(seed))
@@ -155,6 +156,32 @@ class ExampleLoader:
         self._offset_scale_map = offset_scale_map or {}
         self._augment = augment
         self._lock = threading.Lock()
+        # raw mode: emit uint8 image + uint8 object mask (no normalization
+        # or label softening — those happen on device in the packed scan
+        # trainer, train_lib.make_scan_train_step_packed).
+        self._raw = raw
+
+    def fast_forward(self, n_examples: int) -> None:
+        """Advances the coordinate stream past n in-bounds examples.
+
+        Replays the deterministic draw+filter sequence WITHOUT loading any
+        patch data, so a resumed run continues from the exact coordinate
+        the interrupted run would have used next (no replays, no skips).
+        Role of the reference's t5x DatasetCheckpointHandler
+        (ffn/jax/train.py:423-505), done the coordinate-stream way.
+        """
+        skipped = 0
+        while skipped < n_examples:
+            coord, volname = next(self._coords)
+            image_vol = self._image_volume_map[volname]
+            label_vol = self._label_volume_map[volname]
+            if not coordinates_in_bounds(coord, self._image_size,
+                                         image_vol.shape):
+                continue
+            if not coordinates_in_bounds(coord, self._label_size,
+                                         label_vol.shape):
+                continue
+            skipped += 1
 
     def __call__(self):
         while True:
@@ -171,9 +198,16 @@ class ExampleLoader:
 
             labels = load_from_numpylike(coord, label_vol, self._label_size)
             lom = center_lom(labels)
-            soft = soften_labels(lom)
-
             image = load_from_numpylike(coord, image_vol, self._image_size)
+
+            if self._raw:
+                image = image.astype(np.uint8)[np.newaxis, ..., np.newaxis]
+                mask = lom.astype(np.uint8)[np.newaxis, ..., np.newaxis]
+                if self._augment is not None:
+                    image, mask = self._augment(image, mask)
+                return image, mask, None, coord, volname
+
+            soft = soften_labels(lom)
             offset, scale = self._offset_scale_map.get(
                 volname, (self._image_mean, self._image_stddev))
             image = (image.astype(np.float32) - offset) / scale
@@ -189,11 +223,17 @@ class ExampleLoader:
 
 
 class PrefetchingLoader:
-    """Wraps a loader callable with a background prefetch queue."""
+    """Wraps a loader callable with a background prefetch queue.
+
+    `consumed` counts examples handed to the CALLER (not merely
+    prefetched); it is the data-iterator cursor saved in training
+    checkpoints.
+    """
 
     def __init__(self, loader: Callable, capacity: int = 16):
         self._loader = loader
         self._queue = queue_lib.Queue(maxsize=capacity)
+        self.consumed = 0
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
 
@@ -202,4 +242,6 @@ class PrefetchingLoader:
             self._queue.put(self._loader())
 
     def __call__(self):
-        return self._queue.get()
+        item = self._queue.get()
+        self.consumed += 1
+        return item

@@ -65,6 +65,12 @@ class TrainConfig:
     # Mixed precision: "f32" | "bf16" (MXU-native) | "f16" (dynamic loss
     # scaling). Params always stay f32; see training/precision.py.
     precision: str = "f32"
+    # Packed transfers (scan trainer): upload uint8 image + uint8 object
+    # mask only; seed canvases, label softening, normalization, and eval
+    # metrics all happen on device. ~10x less host<->device traffic —
+    # essential when the interconnect is slow relative to compute.
+    packed_transfers: bool = True
+    label_softness: float = 0.05   # inputs.soften_labels default
     # Rematerialize the forward pass in the backward (jax.checkpoint):
     # trades ~33% more FLOPs for O(depth) less activation memory, allowing
     # larger batch on a fixed HBM budget.
@@ -133,7 +139,10 @@ def create_train_state(model, config: TrainConfig, rng=None
     params = model.init_params(rng)
     tx = optimizer_lib.optimizer_from_config(config.optimizer)
     opt_state = tx.init(params)
-    ema = params if config.ema_decay > 0 else None
+    # A deep copy: ema and params are both donated to the jitted step and
+    # must not alias the same buffers.
+    ema = (jax.tree.map(lambda x: jnp.array(x), params)
+           if config.ema_decay > 0 else None)
     policy = precision_lib.get_policy(config.precision)
     return ScanTrainState(params=params, opt_state=opt_state,
                           ema_params=ema, step=0,
@@ -161,6 +170,112 @@ def make_scan_train_step(model, tx: optax.GradientTransformation,
     Non-finite gradients skip the update (and shrink the dynamic loss
     scale), matching the reference's jmp contract (jax/train.py:195-223).
     """
+    body, _ = _scan_body(model, tx, config)
+
+    def train_step(params, opt_state, ema_params, scale_state, seeds,
+                   images, labels, weights, offsets):
+        carry = (params, opt_state, ema_params, scale_state, seeds, images,
+                 labels, weights)
+        carry, metrics = jax.lax.scan(body, carry, offsets)
+        params, opt_state, ema_params, scale_state, seeds, *_ = carry
+        return params, opt_state, ema_params, scale_state, seeds, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3, 4))
+
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, repl, repl, repl, batched, batched, batched,
+                      batched, repl),
+        out_shardings=(repl, repl, repl, repl, batched, repl),
+        donate_argnums=(0, 1, 2, 3, 4))
+
+
+def make_scan_train_step_packed(model, tx: optax.GradientTransformation,
+                                config: TrainConfig,
+                                mesh: Optional[Mesh] = None):
+    """The minimum-transfer scan train step (the flagship TPU path).
+
+    Signature:
+      (params, opt_state, ema_params, scale_state, image_u8, lom_u8,
+       offsets)
+      -> (params, opt_state, ema_params, scale_state, metrics)
+
+    image_u8: (B, cz, cy, cx, 1) uint8 raw image canvas.
+    lom_u8:   (B, lz, ly, lx, 1) uint8 {0,1} local object mask canvas.
+
+    Everything else is built on device: image normalization
+    (config.image_mean/stddev), soft labels (config.label_softness),
+    unit weights, logit-space seed canvases, and — after the offset scan —
+    the eval-region patch metrics (loss + confusion counts), so only
+    scalars flow back to the host. Versus the explicit-canvas step this
+    moves ~10x less data per step, which dominates step time on slow
+    host<->device links.
+    """
+    body, dims = _scan_body(model, tx, config)
+    info = model.info
+    canvas_zyx = tuple(int(v)
+                       for v in train_canvas_size(info, config)[::-1])
+    eval_zyx = tuple(int(v) for v in train_eval_size(info, config)[::-1])
+    pad_logit = float(np_logit(config.seed_pad))
+    init_logit = float(np_logit(config.seed_init))
+    soft = float(config.label_softness)
+
+    def center_crop(arr, size_zyx):
+        start = [0] + [(s - t) // 2
+                       for s, t in zip(arr.shape[1:4], size_zyx)] + [0]
+        return jax.lax.dynamic_slice(arr, start,
+                                     (arr.shape[0], *size_zyx, 1))
+
+    def train_step(params, opt_state, ema_params, scale_state, image_u8,
+                   lom_u8, offsets):
+        b = image_u8.shape[0]
+        images = ((image_u8.astype(jnp.float32) - config.image_mean)
+                  / config.image_stddev)
+        labels = jnp.where(lom_u8 > 0, jnp.float32(1.0 - soft),
+                           jnp.float32(soft))
+        weights = jnp.ones_like(labels)
+        seeds = jnp.full((b, *canvas_zyx, 1), pad_logit, jnp.float32)
+        center = tuple(s // 2 for s in canvas_zyx)
+        seeds = seeds.at[:, center[0], center[1], center[2], :].set(
+            init_logit)
+
+        carry = (params, opt_state, ema_params, scale_state, seeds, images,
+                 labels, weights)
+        carry, metrics = jax.lax.scan(body, carry, offsets)
+        params, opt_state, ema_params, scale_state, seeds, *_ = carry
+
+        # Eval-region patch metrics on device (tracker.add_patch math).
+        lab_eval = center_crop(labels, eval_zyx)
+        logit_eval = center_crop(seeds, eval_zyx)
+        ce = sigmoid_ce(logit_eval, lab_eval)
+        pred_pos = logit_eval > 0.0
+        true_pos = lab_eval > 0.5
+        metrics = dict(metrics)
+        metrics["patch_loss"] = ce.mean()
+        metrics["tp"] = jnp.sum(pred_pos & true_pos)
+        metrics["fp"] = jnp.sum(pred_pos & ~true_pos)
+        metrics["fn"] = jnp.sum(~pred_pos & true_pos)
+        metrics["tn"] = jnp.sum(~pred_pos & ~true_pos)
+        return params, opt_state, ema_params, scale_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, repl, repl, repl, batched, batched, repl),
+        out_shardings=(repl, repl, repl, repl, repl),
+        donate_argnums=(0, 1, 2, 3))
+
+
+def _scan_body(model, tx: optax.GradientTransformation,
+               config: TrainConfig):
+    """Shared per-offset scan body for both scan-step variants."""
     info = model.info
     fov_zyx = tuple(int(v) for v in info.input_seed_size[::-1])
     pred_zyx = tuple(int(v) for v in info.pred_mask_size[::-1])
@@ -264,25 +379,8 @@ def make_scan_train_step(model, tx: optax.GradientTransformation,
             logits, (0, delta[0], delta[1], delta[2], 0),
             (logits.shape[0], *pred_zyx, 1))
 
-    def train_step(params, opt_state, ema_params, scale_state, seeds,
-                   images, labels, weights, offsets):
-        carry = (params, opt_state, ema_params, scale_state, seeds, images,
-                 labels, weights)
-        carry, metrics = jax.lax.scan(body, carry, offsets)
-        params, opt_state, ema_params, scale_state, seeds, *_ = carry
-        return params, opt_state, ema_params, scale_state, seeds, metrics
-
-    if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3, 4))
-
-    repl = NamedSharding(mesh, P())
-    batched = NamedSharding(mesh, P("data"))
-    return jax.jit(
-        train_step,
-        in_shardings=(repl, repl, repl, repl, batched, batched, batched,
-                      batched, repl),
-        out_shardings=(repl, repl, repl, repl, batched, repl),
-        donate_argnums=(0, 1, 2, 3, 4))
+    dims = {"fov_zyx": fov_zyx, "pred_zyx": pred_zyx, "img_zyx": img_zyx}
+    return body, dims
 
 
 def make_fov_train_step(model, tx: optax.GradientTransformation,

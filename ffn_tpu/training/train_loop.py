@@ -48,62 +48,102 @@ class LoopConfig:
     summary_every_steps: int = 100
     checkpoint_every_steps: int = 1000
     random_seed: int = 0
+    # Checkpoint preservation: keep at most this many recent checkpoints
+    # (0 = keep all) ...
+    max_to_keep: int = 5
+    # ... but never delete checkpoints whose step is a multiple of this
+    # (0 = none preserved). Matches ref jax/train.py:355-371 semantics.
+    keep_every_n_steps: int = 0
 
 
-def make_example_batcher(data: DataConfig, config: train_lib.TrainConfig,
-                         info, rng_seed: int = 0):
-    """Builds a callable yielding full-canvas training batches.
+class ExampleBatcher:
+    """Yields full-canvas training batches for the scan trainer, with a
+    resumable data-iterator cursor.
 
-    Returns batches of (seeds, images, labels, weights) canvases for the
-    scan trainer.
+    The coordinate stream, bounds filter, and augmentation draws are all
+    deterministic functions of (seed, #examples consumed), so
+    `fast_forward(n)` reproduces the exact pipeline position of a run that
+    consumed n examples — no coordinate is replayed or skipped on resume.
     """
-    canvas_zyx = tuple(int(v)
-                       for v in train_lib.train_canvas_size(info, config)
-                       [::-1])
-    image_zyx = tuple(int(v)
-                      for v in train_lib.train_image_size(info, config)
-                      [::-1])
-    label_zyx = tuple(int(v)
-                      for v in train_lib.train_labels_size(info, config)
-                      [::-1])
 
-    rng = np.random.RandomState(rng_seed)
-    transform = augmentation.PermuteAndReflect(
-        rank=5,
-        permutable_axes=[a + 1 for a in data.permutable_axes],
-        reflectable_axes=[a + 1 for a in data.reflectable_axes],
-        rng=rng)
+    def __init__(self, data: DataConfig, config: train_lib.TrainConfig,
+                 info, rng_seed: int = 0, packed: bool = False):
+        self._batch_size = config.batch_size
+        self._packed = packed
+        self._canvas_zyx = tuple(
+            int(v) for v in train_lib.train_canvas_size(info, config)[::-1])
+        image_zyx = tuple(
+            int(v) for v in train_lib.train_image_size(info, config)[::-1])
+        label_zyx = tuple(
+            int(v) for v in train_lib.train_labels_size(info, config)[::-1])
+        self._seed_pad = config.seed_pad
+        self._seed_init = config.seed_init
 
-    def augment(image, labels, weights):
-        perm, flips = transform.sample()
-        return (transform.apply(image, perm, flips),
-                transform.apply(labels, perm, flips),
-                transform.apply(weights, perm, flips))
+        self._transform = augmentation.PermuteAndReflect(
+            rank=5,
+            permutable_axes=[a + 1 for a in data.permutable_axes],
+            reflectable_axes=[a + 1 for a in data.reflectable_axes],
+            rng=np.random.RandomState(rng_seed))
 
-    loader = inputs_lib.ExampleLoader(
-        data.train_coords,
-        image_volume_map=inputs_lib.parse_volume_map(data.data_volumes),
-        label_volume_map=inputs_lib.parse_volume_map(data.label_volumes),
-        image_size_xyz=image_zyx[::-1], label_size_xyz=label_zyx[::-1],
-        image_mean=data.image_mean, image_stddev=data.image_stddev,
-        augment=augment, seed=rng_seed)
-    loader = inputs_lib.PrefetchingLoader(loader,
-                                          capacity=4 * config.batch_size)
+        def augment(*arrays):
+            perm, flips = self._transform.sample()
+            return tuple(self._transform.apply(a, perm, flips)
+                         for a in arrays)
 
-    def next_batch():
+        self._raw_loader = inputs_lib.ExampleLoader(
+            data.train_coords,
+            image_volume_map=inputs_lib.parse_volume_map(data.data_volumes),
+            label_volume_map=inputs_lib.parse_volume_map(data.label_volumes),
+            image_size_xyz=image_zyx[::-1], label_size_xyz=label_zyx[::-1],
+            image_mean=data.image_mean, image_stddev=data.image_stddev,
+            augment=augment, seed=rng_seed, raw=packed)
+        self._loader = None  # prefetch started lazily / after fast_forward
+
+    def fast_forward(self, n_examples: int) -> None:
+        """Positions the pipeline as if n_examples were already consumed.
+
+        Must be called before the first batch (it advances the underlying
+        streams directly, bypassing patch loads)."""
+        assert self._loader is None, "fast_forward before first batch"
+        if n_examples <= 0:
+            return
+        self._raw_loader.fast_forward(n_examples)
+        for _ in range(n_examples):
+            self._transform.sample()
+
+    @property
+    def consumed(self) -> int:
+        """Examples handed to the trainer so far (the checkpoint cursor)."""
+        return self._loader.consumed if self._loader is not None else 0
+
+    def __call__(self):
+        if self._loader is None:
+            self._loader = inputs_lib.PrefetchingLoader(
+                self._raw_loader, capacity=4 * self._batch_size)
+        if self._packed:
+            images, masks = [], []
+            while len(images) < self._batch_size:
+                img, mask, _, _, _ = self._loader()
+                images.append(img)
+                masks.append(mask)
+            return np.concatenate(images), np.concatenate(masks)
         images, labels, weights = [], [], []
-        while len(images) < config.batch_size:
-            img, lab, w, _, _ = loader()
+        while len(images) < self._batch_size:
+            img, lab, w, _, _ = self._loader()
             images.append(img)
             labels.append(lab)
             weights.append(w)
         seeds = train_lib.make_seed_canvas(
-            config.batch_size, canvas_zyx, config.seed_pad,
-            config.seed_init)
+            self._batch_size, self._canvas_zyx, self._seed_pad,
+            self._seed_init)
         return (seeds, np.concatenate(images), np.concatenate(labels),
                 np.concatenate(weights))
 
-    return next_batch
+
+def make_example_batcher(data: DataConfig, config: train_lib.TrainConfig,
+                         info, rng_seed: int = 0) -> ExampleBatcher:
+    """Builds the batch callable (see ExampleBatcher)."""
+    return ExampleBatcher(data, config, info, rng_seed=rng_seed)
 
 
 def run_training(model_name: str, model_args: str,
@@ -137,10 +177,13 @@ def run_training(model_name: str, model_args: str,
         mesh = train_lib.make_data_mesh(batch_size=config.batch_size)
     tx = optimizer_lib.optimizer_from_config(config.optimizer)
     state, _ = train_lib.create_train_state(model, config)
-    step_fn = train_lib.make_scan_train_step(model, tx, config, mesh=mesh)
+    packed = config.packed_transfers
+    step_fn = (train_lib.make_scan_train_step_packed if packed
+               else train_lib.make_scan_train_step)(
+        model, tx, config, mesh=mesh)
 
-    next_batch = make_example_batcher(data, config, info,
-                                      rng_seed=loop.random_seed)
+    next_batch = ExampleBatcher(data, config, info,
+                                rng_seed=loop.random_seed, packed=packed)
     eval_shape = tuple(int(v)
                        for v in train_lib.train_eval_size(info, config)
                        [::-1])
@@ -151,30 +194,57 @@ def run_training(model_name: str, model_args: str,
     os.makedirs(loop.train_dir, exist_ok=True)
     params, opt_state, ema = state.params, state.opt_state, state.ema_params
     scale_state = state.scale_state
+    shuffle_rng = np.random.RandomState(loop.random_seed)
 
-    # Resume from the latest checkpoint if present.
+    # Resume from the latest checkpoint if present: params, optimizer,
+    # EMA, loss scale, offset-shuffle RNG, and the data-iterator cursor.
     start_step = 0
+    consumed_base = 0
     ckpt_dir = os.path.join(loop.train_dir, "ckpt")
     latest = _latest_checkpoint(ckpt_dir)
     if latest is not None:
         start_step = latest
         params, opt_state = _restore(ckpt_dir, latest, opt_state)
-        logging.info("Resumed from step %d", start_step)
+        ema, scale_state, consumed_base = _restore_extra(
+            ckpt_dir, latest, ema, scale_state, shuffle_rng)
+        if consumed_base is None:
+            # Old-format checkpoint without a data cursor: assume the
+            # scan trainer's fixed consumption rate.
+            consumed_base = start_step * config.batch_size
+        next_batch.fast_forward(consumed_base)
+        logging.info("Resumed from step %d (data cursor %d)", start_step,
+                     consumed_base)
 
-    shuffle_rng = np.random.RandomState(loop.random_seed)
+    # Preemption handling: on SIGTERM/SIGINT, finish the current step,
+    # checkpoint, and exit cleanly (ref jax/train.py:697-701).
+    stop = _PreemptionWatcher()
+
+    def save(step):
+        _save(ckpt_dir, step, params, opt_state)
+        _save_extra(ckpt_dir, step, ema, scale_state, shuffle_rng,
+                    consumed_base + next_batch.consumed)
+        _apply_keep_policy(ckpt_dir, loop)
+
     t_last = time.time()
     summaries = {}
     for step in range(start_step, loop.max_steps):
-        seeds, images, labels, weights = next_batch()
         offsets = train_lib.fixed_offsets_zyx(
             info, shuffle=config.shuffle_fov_moves, rng=shuffle_rng)
-        params, opt_state, ema, scale_state, out_seeds, metrics = step_fn(
-            params, opt_state, ema, scale_state, jnp.asarray(seeds),
-            jnp.asarray(images), jnp.asarray(labels), jnp.asarray(weights),
-            jnp.asarray(offsets))
-
-        _update_tracker(tracker, metrics, offsets, labels, out_seeds,
-                        weights)
+        if packed:
+            image_u8, lom_u8 = next_batch()
+            params, opt_state, ema, scale_state, metrics = step_fn(
+                params, opt_state, ema, scale_state, jnp.asarray(image_u8),
+                jnp.asarray(lom_u8), jnp.asarray(offsets))
+            _update_tracker_packed(tracker, metrics, offsets)
+        else:
+            seeds, images, labels, weights = next_batch()
+            params, opt_state, ema, scale_state, out_seeds, metrics = \
+                step_fn(params, opt_state, ema, scale_state,
+                        jnp.asarray(seeds), jnp.asarray(images),
+                        jnp.asarray(labels), jnp.asarray(weights),
+                        jnp.asarray(offsets))
+            _update_tracker(tracker, metrics, offsets, labels, out_seeds,
+                            weights)
 
         if (step + 1) % loop.summary_every_steps == 0:
             summaries = tracker.get_summaries()
@@ -190,8 +260,12 @@ def run_training(model_name: str, model_args: str,
             _write_summaries(loop.train_dir, step + 1, summaries)
 
         if (step + 1) % loop.checkpoint_every_steps == 0 or \
-                step + 1 == loop.max_steps:
-            _save(ckpt_dir, step + 1, params, opt_state)
+                step + 1 == loop.max_steps or stop.requested:
+            save(step + 1)
+        if stop.requested:
+            logging.info("Preemption requested; checkpointed at step %d "
+                         "and exiting.", step + 1)
+            break
 
     return summaries
 
@@ -283,6 +357,11 @@ def run_training_host_loop(model_name: str, model_args: str,
         params, opt_state = _restore(ckpt_dir, latest, opt_state)
         logging.info("Resumed from step %d", start_step)
 
+    # Note: the host-loop trainer's data position is NOT checkpointed —
+    # examples span a variable number of steps (in-flight FOV queues), so
+    # there is no well-defined cursor. The scan trainer (run_training) is
+    # the exact-resume path.
+    stop = _PreemptionWatcher()
     t_last = time.time()
     summaries = {}
     for step in range(start_step, loop.max_steps):
@@ -302,9 +381,38 @@ def run_training_host_loop(model_name: str, model_args: str,
                          loop.summary_every_steps / dt)
             _write_summaries(loop.train_dir, step + 1, summaries)
         if (step + 1) % loop.checkpoint_every_steps == 0 or \
-                step + 1 == loop.max_steps:
+                step + 1 == loop.max_steps or stop.requested:
             _save(ckpt_dir, step + 1, params, opt_state)
+            _apply_keep_policy(ckpt_dir, loop)
+        if stop.requested:
+            logging.info("Preemption requested; checkpointed at step %d "
+                         "and exiting.", step + 1)
+            break
     return summaries
+
+
+def _update_tracker_packed(tracker, metrics, offsets):
+    """Feeds the device-computed per-offset move stats AND eval-patch
+    confusion/loss (computed on device by the packed step) into the host
+    tracker — one small host read per step, no canvas download."""
+    correct = np.asarray(metrics["correct"])
+    missed = np.asarray(metrics["missed"])
+    spurious = np.asarray(metrics["spurious"])
+    for i, off in enumerate(np.asarray(offsets)):
+        off_xyz = tuple(int(v) for v in off[::-1])
+        radius = int(np.linalg.norm(off_xyz))
+        for stats in (tracker.moves, tracker.moves_by_radius[radius]):
+            stats.total += int(correct[i] + missed[i] + spurious[i])
+            stats.correct += int(correct[i])
+            stats.missed += int(missed[i])
+            stats.spurious += int(spurious[i])
+    tracker.loss_sum += float(np.asarray(metrics["patch_loss"]))
+    tracker.loss_count += 1
+    tracker.tp += int(np.asarray(metrics["tp"]))
+    tracker.fp += int(np.asarray(metrics["fp"]))
+    tracker.fn += int(np.asarray(metrics["fn"]))
+    tracker.tn += int(np.asarray(metrics["tn"]))
+    tracker.num_patches += 1
 
 
 def _update_tracker(tracker, metrics, offsets, labels, out_seeds, weights):
@@ -332,6 +440,97 @@ def _write_summaries(train_dir, step, summaries):
             k: float(v) for k, v in summaries.items()}}) + "\n")
 
 
+class _PreemptionWatcher:
+    """Converts SIGTERM/SIGINT into a 'save and exit after this step'
+    request (preemption-aware training; ref jax/train.py:697-701)."""
+
+    def __init__(self):
+        import signal
+        self.requested = False
+        self._prev = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._prev[sig] = signal.signal(sig, self._handler)
+            except ValueError:
+                pass  # not the main thread (e.g. under a test runner)
+
+    def _handler(self, signum, frame):
+        del frame
+        logging.warning("Signal %s received: checkpointing after the "
+                        "current step.", signum)
+        self.requested = True
+
+
+def _ckpt_steps(ckpt_dir) -> list:
+    steps = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("model.ckpt-") and name.endswith(".npz"):
+            steps.append(int(name[len("model.ckpt-"):-len(".npz")]))
+    return sorted(steps)
+
+
+def _apply_keep_policy(ckpt_dir, loop: LoopConfig):
+    """Deletes old checkpoints: keep the newest `max_to_keep`, plus every
+    step multiple of `keep_every_n_steps` (ref jax/train.py:355-371)."""
+    if loop.max_to_keep <= 0:
+        return
+    steps = _ckpt_steps(ckpt_dir)
+    doomed = steps[:-loop.max_to_keep]
+    for step in doomed:
+        if loop.keep_every_n_steps and step % loop.keep_every_n_steps == 0:
+            continue
+        for prefix in ("model.ckpt-", "opt.ckpt-", "extra.ckpt-"):
+            path = os.path.join(ckpt_dir, f"{prefix}{step}.npz")
+            if os.path.exists(path):
+                os.remove(path)
+
+
+def _save_extra(ckpt_dir, step, ema, scale_state, shuffle_rng, consumed):
+    """Persists EMA params, loss-scale state, offset-shuffle RNG state,
+    and the data-iterator cursor."""
+    arrays = {"consumed": np.int64(consumed)}
+    s0, s1, s2, s3, s4 = shuffle_rng.get_state()
+    arrays["rng_keys"] = np.asarray(s1)
+    arrays["rng_meta"] = np.array([s2, s3, s4], np.float64)
+    if ema is not None:
+        for i, leaf in enumerate(jax.tree.leaves(
+                jax.tree.map(np.asarray, ema))):
+            arrays[f"ema{i}"] = leaf
+    for i, leaf in enumerate(jax.tree.leaves(
+            jax.tree.map(np.asarray, scale_state))):
+        arrays[f"scale{i}"] = leaf
+    path = os.path.join(ckpt_dir, f"extra.ckpt-{step}.npz")
+    np.savez_compressed(path, **arrays)
+
+
+def _restore_extra(ckpt_dir, step, ema_template, scale_template,
+                   shuffle_rng):
+    """Restores what _save_extra wrote; returns (ema, scale_state,
+    consumed) — consumed is None for old-format checkpoints."""
+    path = os.path.join(ckpt_dir, f"extra.ckpt-{step}.npz")
+    if not os.path.exists(path):
+        return ema_template, scale_template, None
+    data = np.load(path)
+    consumed = int(data["consumed"])
+    meta = data["rng_meta"]
+    shuffle_rng.set_state(("MT19937", data["rng_keys"], int(meta[0]),
+                           int(meta[1]), float(meta[2])))
+    ema = ema_template
+    if ema_template is not None and "ema0" in data:
+        leaves, treedef = jax.tree.flatten(ema_template)
+        ema = jax.tree.unflatten(
+            treedef, [np.asarray(data[f"ema{i}"], dtype=l.dtype)
+                      .reshape(np.shape(l)) for i, l in enumerate(leaves)])
+    scale_state = scale_template
+    scale_leaves, scale_def = jax.tree.flatten(scale_template)
+    if scale_leaves and "scale0" in data:
+        scale_state = jax.tree.unflatten(
+            scale_def, [np.asarray(data[f"scale{i}"], dtype=l.dtype)
+                        .reshape(np.shape(l))
+                        for i, l in enumerate(scale_leaves)])
+    return ema, scale_state, consumed
+
+
 def _save(ckpt_dir, step, params, opt_state):
     from ffn_tpu.models import params_io
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -347,11 +546,8 @@ def _save(ckpt_dir, step, params, opt_state):
 def _latest_checkpoint(ckpt_dir) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = []
-    for name in os.listdir(ckpt_dir):
-        if name.startswith("model.ckpt-") and name.endswith(".npz"):
-            steps.append(int(name[len("model.ckpt-"):-len(".npz")]))
-    return max(steps) if steps else None
+    steps = _ckpt_steps(ckpt_dir)
+    return steps[-1] if steps else None
 
 
 def _restore(ckpt_dir, step, opt_state_template):

@@ -175,6 +175,68 @@ def test_scan_trainer_sharded_mesh():
     assert out_seeds.shape[0] == 8
 
 
+def test_packed_scan_step_matches_explicit():
+    """The packed (uint8-in, scalars-out) step computes exactly the same
+    training update as the explicit-canvas step."""
+    config = small_config(batch=2)
+    model = small_model()
+    tx = optimizer_lib.optimizer_from_config(config.optimizer)
+    info = model.info
+    rng = np.random.RandomState(3)
+
+    canvas = tuple(int(v)
+                   for v in train_lib.train_canvas_size(info, config)[::-1])
+    label_canvas = tuple(
+        int(v) for v in train_lib.train_labels_size(info, config)[::-1])
+    B = config.batch_size
+    image_u8 = rng.randint(0, 255, (B, *canvas, 1)).astype(np.uint8)
+    lom_u8 = (rng.rand(B, *label_canvas, 1) > 0.5).astype(np.uint8)
+    offsets = jnp.asarray(train_lib.fixed_offsets_zyx(info))
+
+    # Explicit path: host-side normalization/softening/seed construction.
+    images = (image_u8.astype(np.float32) - config.image_mean) \
+        / config.image_stddev
+    labels = np.where(lom_u8 > 0, np.float32(0.95), np.float32(0.05))
+    weights = np.ones_like(labels)
+    seeds = train_lib.make_seed_canvas(B, canvas, config.seed_pad,
+                                       config.seed_init)
+
+    state, _ = train_lib.create_train_state(model, config)
+    explicit = train_lib.make_scan_train_step(model, tx, config)
+    e_params, _, _, _, e_seeds, e_metrics = explicit(
+        state.params, state.opt_state, state.ema_params, state.scale_state,
+        jnp.asarray(seeds), jnp.asarray(images), jnp.asarray(labels),
+        jnp.asarray(weights), offsets)
+
+    state2, _ = train_lib.create_train_state(model, config)
+    packed = train_lib.make_scan_train_step_packed(model, tx, config)
+    p_params, _, _, _, p_metrics = packed(
+        state2.params, state2.opt_state, state2.ema_params,
+        state2.scale_state, jnp.asarray(image_u8), jnp.asarray(lom_u8),
+        offsets)
+
+    for a, b in zip(jax.tree.leaves(e_params), jax.tree.leaves(p_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e_metrics["loss"]),
+                               np.asarray(p_metrics["loss"]), atol=1e-6)
+    # Patch metrics match a host recomputation from the explicit seeds.
+    eval_zyx = tuple(int(v)
+                     for v in train_lib.train_eval_size(info, config)[::-1])
+    start = [(s - t) // 2 for s, t in zip(e_seeds.shape[1:4], eval_zyx)]
+    sel = (slice(None),) + tuple(
+        slice(s, s + t) for s, t in zip(start, eval_zyx)) + (slice(None),)
+    x = np.asarray(e_seeds)[sel]
+    lab_sel = (slice(None),) + tuple(
+        slice((s - t) // 2, (s - t) // 2 + t)
+        for s, t in zip(labels.shape[1:4], eval_zyx)) + (slice(None),)
+    z = labels[lab_sel]
+    ce = np.maximum(x, 0) - x * z + np.log1p(np.exp(-np.abs(x)))
+    np.testing.assert_allclose(float(np.asarray(p_metrics["patch_loss"])),
+                               ce.mean(), atol=2e-4)  # f32 vs f64 reduce
+    assert int(p_metrics["tp"]) == int(np.sum((x > 0) & (z > 0.5)))
+    assert int(p_metrics["fp"]) == int(np.sum((x > 0) & (z <= 0.5)))
+
+
 def test_fixed_offsets_policy_parity():
     """examples.fixed_offsets yields exactly the moves whose seed gate
     passes, recording stats."""

@@ -419,16 +419,28 @@ def make_data_mesh(devices=None, batch_size: Optional[int] = None) -> Mesh:
 
     If batch_size is given, uses the largest device count that divides it
     (a batch smaller than the device pool shouldn't fail — it just doesn't
-    use every device).
+    use every device). Multi-process: the subset is chosen per process so
+    every process contributes the same number of devices (a mesh that
+    spans only one host can't carry a cross-host data axis).
     """
     if devices is None:
         devices = jax.devices()
     devices = list(devices)
     if batch_size is not None:
-        n = len(devices)
-        while batch_size % n:
-            n -= 1
-        devices = devices[:n]
+        by_proc = {}
+        for d in devices:
+            by_proc.setdefault(d.process_index, []).append(d)
+        n_proc = len(by_proc)
+        per_proc = min(len(v) for v in by_proc.values())
+        if batch_size % n_proc:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over {n_proc} "
+                f"processes")
+        local_batch = batch_size // n_proc
+        while local_batch % per_proc:
+            per_proc -= 1
+        devices = [d for proc in sorted(by_proc)
+                   for d in by_proc[proc][:per_proc]]
     return Mesh(np.array(devices), ("data",))
 
 

@@ -150,7 +150,18 @@ def run_training(model_name: str, model_args: str,
                  config: train_lib.TrainConfig, data: DataConfig,
                  loop: LoopConfig,
                  mesh=None) -> dict:
-    """Runs FFN training; returns final summaries."""
+    """Runs FFN training; returns final summaries.
+
+    Multi-host: call jax.distributed.initialize() on every process before
+    this function (train.py does it from --coordinator_address/... flags).
+    The Mesh then spans all processes' devices; each process feeds
+    batch_size/process_count examples from its own coordinate-stream
+    shard, global batches are assembled via
+    jax.make_array_from_process_local_data, gradients all-reduce inside
+    the jitted step over ICI/DCN, and checkpoint/summary writes happen on
+    process 0 only (ref jax/train.py:510,619-641 semantics, without the
+    host<->device seed shuttling).
+    """
     model_cls = registry.import_symbol(model_name)
     kwargs = json.loads(model_args) if model_args else {}
     kwargs.setdefault("fov_size", list(config.fov_size))
@@ -173,6 +184,9 @@ def run_training(model_name: str, model_args: str,
             f"got {config.fov_policy!r}. Use training.examples for "
             f"host-loop policies.")
 
+    n_proc = jax.process_count()
+    proc = jax.process_index()
+    is_chief = proc == 0
     if mesh is None:
         mesh = train_lib.make_data_mesh(batch_size=config.batch_size)
     tx = optimizer_lib.optimizer_from_config(config.optimizer)
@@ -182,8 +196,37 @@ def run_training(model_name: str, model_args: str,
                else train_lib.make_scan_train_step)(
         model, tx, config, mesh=mesh)
 
-    next_batch = ExampleBatcher(data, config, info,
-                                rng_seed=loop.random_seed, packed=packed)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl_sharding = NamedSharding(mesh, P())
+    data_sharding = NamedSharding(mesh, P("data"))
+
+    if n_proc > 1:
+        if config.batch_size % n_proc:
+            raise ValueError(
+                f"batch_size {config.batch_size} must divide evenly over "
+                f"{n_proc} processes")
+        local_config = dataclasses.replace(
+            config, batch_size=config.batch_size // n_proc)
+        # Distinct coordinate-stream shard per process.
+        batch_seed = loop.random_seed + 7919 * proc
+    else:
+        local_config = config
+        batch_seed = loop.random_seed
+
+    def put_batched(x):
+        """Process-local numpy -> global batch-sharded device array."""
+        if n_proc == 1:
+            return jnp.asarray(x)
+        return jax.make_array_from_process_local_data(data_sharding, x)
+
+    def put_repl(tree):
+        """Replicates a host pytree across the global mesh."""
+        if n_proc == 1:
+            return tree
+        return jax.device_put(tree, repl_sharding)
+
+    next_batch = ExampleBatcher(data, local_config, info,
+                                rng_seed=batch_seed, packed=packed)
     eval_shape = tuple(int(v)
                        for v in train_lib.train_eval_size(info, config)
                        [::-1])
@@ -214,12 +257,25 @@ def run_training(model_name: str, model_args: str,
         next_batch.fast_forward(consumed_base)
         logging.info("Resumed from step %d (data cursor %d)", start_step,
                      consumed_base)
+    params, opt_state = put_repl(params), put_repl(opt_state)
+    ema, scale_state = put_repl(ema), put_repl(scale_state)
 
     # Preemption handling: on SIGTERM/SIGINT, finish the current step,
-    # checkpoint, and exit cleanly (ref jax/train.py:697-701).
+    # checkpoint, and exit cleanly (ref jax/train.py:697-701). Multi-host:
+    # the flag is OR-ed across processes so everyone exits together.
     stop = _PreemptionWatcher()
 
+    def stop_requested():
+        if n_proc == 1:
+            return stop.requested
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.int32(stop.requested))
+        return bool(np.any(flags))
+
     def save(step):
+        if not is_chief:
+            return
         _save(ckpt_dir, step, params, opt_state)
         _save_extra(ckpt_dir, step, ema, scale_state, shuffle_rng,
                     consumed_base + next_batch.consumed)
@@ -228,21 +284,21 @@ def run_training(model_name: str, model_args: str,
     t_last = time.time()
     summaries = {}
     for step in range(start_step, loop.max_steps):
-        offsets = train_lib.fixed_offsets_zyx(
-            info, shuffle=config.shuffle_fov_moves, rng=shuffle_rng)
+        offsets = put_repl(jnp.asarray(train_lib.fixed_offsets_zyx(
+            info, shuffle=config.shuffle_fov_moves, rng=shuffle_rng)))
         if packed:
             image_u8, lom_u8 = next_batch()
             params, opt_state, ema, scale_state, metrics = step_fn(
-                params, opt_state, ema, scale_state, jnp.asarray(image_u8),
-                jnp.asarray(lom_u8), jnp.asarray(offsets))
+                params, opt_state, ema, scale_state, put_batched(image_u8),
+                put_batched(lom_u8), offsets)
             _update_tracker_packed(tracker, metrics, offsets)
         else:
             seeds, images, labels, weights = next_batch()
             params, opt_state, ema, scale_state, out_seeds, metrics = \
                 step_fn(params, opt_state, ema, scale_state,
-                        jnp.asarray(seeds), jnp.asarray(images),
-                        jnp.asarray(labels), jnp.asarray(weights),
-                        jnp.asarray(offsets))
+                        put_batched(seeds), put_batched(images),
+                        put_batched(labels), put_batched(weights),
+                        offsets)
             _update_tracker(tracker, metrics, offsets, labels, out_seeds,
                             weights)
 
@@ -257,12 +313,14 @@ def run_training(model_name: str, model_args: str,
                 step + 1, float(losses[act].mean()),
                 summaries["moves/correct"],
                 loop.summary_every_steps / dt)
-            _write_summaries(loop.train_dir, step + 1, summaries)
+            if is_chief:
+                _write_summaries(loop.train_dir, step + 1, summaries)
 
+        preempted = stop_requested()
         if (step + 1) % loop.checkpoint_every_steps == 0 or \
-                step + 1 == loop.max_steps or stop.requested:
+                step + 1 == loop.max_steps or preempted:
             save(step + 1)
-        if stop.requested:
+        if preempted:
             logging.info("Preemption requested; checkpointed at step %d "
                          "and exiting.", step + 1)
             break

@@ -63,6 +63,15 @@ flags.DEFINE_enum("precision", "f32", ["f32", "bf16", "f16"],
 flags.DEFINE_boolean("remat", False,
                      "Rematerialize forward activations in the backward "
                      "pass (less memory, ~33% more FLOPs).")
+flags.DEFINE_string("coordinator_address", None,
+                    "host:port of process 0; enables multi-host training "
+                    "(jax.distributed). On TPU pods with automatic "
+                    "bootstrap, pass 'auto' to initialize without "
+                    "explicit addresses.")
+flags.DEFINE_integer("num_processes", None,
+                     "Total process count for multi-host training.")
+flags.DEFINE_integer("process_id", None,
+                     "This process's index for multi-host training.")
 flags.DEFINE_integer("random_seed", 0, "Seed for sampling/augmentation.")
 flags.DEFINE_enum("trainer", "scan", ["scan", "host_loop"],
                   "scan: whole example fused into one XLA program "
@@ -88,6 +97,16 @@ flags.DEFINE_float("epsilon", 1e-8, "Epsilon for RMSProp/Adam.")
 def main(argv):
     del argv
     import json
+
+    if FLAGS.coordinator_address:
+        import jax
+        if FLAGS.coordinator_address == "auto":
+            jax.distributed.initialize()  # TPU pod auto-bootstrap
+        else:
+            jax.distributed.initialize(
+                coordinator_address=FLAGS.coordinator_address,
+                num_processes=FLAGS.num_processes,
+                process_id=FLAGS.process_id)
     model_args = json.loads(FLAGS.model_args) if FLAGS.model_args else {}
     fov_size = tuple(model_args.get("fov_size", (33, 33, 33)))
     deltas = tuple(model_args.get("deltas", (8, 8, 8)))

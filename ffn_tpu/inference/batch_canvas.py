@@ -67,7 +67,8 @@ class BatchCanvas:
                  lanes: int = 8, candidates_per_step: int = 4,
                  max_iters_per_segment: int = 0,
                  voxel_size_zyx=(1, 1, 1), counters=None, restrictor=None,
-                 corner_zyx=None, keep_probability_maps=False):
+                 corner_zyx=None, keep_probability_maps=False,
+                 checkpoint_path=None, checkpoint_interval_sec=0):
         self.engine = engine
         self.image = np.ascontiguousarray(image, dtype=np.float32)
         self.voxel_size_zyx = voxel_size_zyx
@@ -113,6 +114,10 @@ class BatchCanvas:
         self.global_to_local_ids = {}
         self.local_to_global_ids = {}
         self.seed_policy = None
+        self._seed_policy_state = None
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_interval_sec = checkpoint_interval_sec
+        self.checkpoint_last = time.time()
 
     # Seed policies access canvas.segmentation/restrictor/margin/shape/image.
 
@@ -198,10 +203,120 @@ class BatchCanvas:
             return False
         return True
 
+    # -- checkpointing ---------------------------------------------------------
+    # Same role as the serial Canvas cpoints (and the reference's
+    # inference.py:728-843): a killed worker resumes the subvolume with
+    # every lane's in-flight flood fill intact, not just finalized objects.
+
+    def save_checkpoint(self, path: str):
+        self.log_info("Saving batch-canvas checkpoint to %s.", path)
+        with timer_counter(self.counters, "save_checkpoint"):
+            lanes_state = []
+            deferred = list(self._deferred)
+            for li, lane in enumerate(self._lanes):
+                if lane.state != _RUNNING or lane.num_iters <= 0:
+                    # A lane that has not executed an FFN step yet has no
+                    # device state worth saving — its seed goes back into
+                    # the deferred pool so the resumed run re-seeds it.
+                    if lane.state == _RUNNING:
+                        deferred.append(tuple(int(v)
+                                              for v in lane.start_pos))
+                    lanes_state.append(None)
+                    continue
+                sel_start = np.maximum(
+                    lane.min_pos - self._pred_size // 2, 0)
+                sel_end = np.minimum(
+                    lane.max_pos + self._pred_size // 2 + 1, self.shape)
+                region, region_start = self.engine.lane_seed_region(
+                    self._seeds_dev, li, sel_start, sel_end - sel_start)
+                lanes_state.append({
+                    "start_pos": np.asarray(lane.start_pos),
+                    "queue": lane.queue,
+                    "pending": lane.pending,
+                    "done_cells": np.array(sorted(lane.done_cells),
+                                           np.int64).reshape(-1, 3),
+                    "min_pos": np.asarray(lane.min_pos),
+                    "max_pos": np.asarray(lane.max_pos),
+                    "num_iters": lane.num_iters,
+                    "region": region,
+                    "region_start": np.asarray(region_start),
+                })
+            seed_policy_state = None
+            if self.seed_policy is not None:
+                seed_policy_state = self.seed_policy.get_state()
+            aux = {}
+            if self.keep_probability_maps:
+                aux["seg_qprob"] = self.seg_prob
+            with storage.atomic_file(path) as fd:
+                np.savez_compressed(
+                    fd,
+                    segmentation=self.segmentation,
+                    origins=self.origins,
+                    overlaps=self.overlaps,
+                    deferred=np.array(deferred, np.int64).reshape(-1, 3),
+                    lanes=np.asarray(lanes_state, dtype=object),
+                    seed_policy_state=np.asarray(seed_policy_state,
+                                                 dtype=object),
+                    counters=self.counters.dumps_np(),
+                    **aux)
+        self.log_info("Batch-canvas checkpoint saved.")
+
+    def restore_checkpoint(self, path: str) -> int:
+        self.log_info("Restoring batch-canvas checkpoint: %s", path)
+        with open(path, "rb") as f:
+            data = np.load(f, allow_pickle=True)
+            self.segmentation[...] = data["segmentation"]
+            if self.keep_probability_maps and "seg_qprob" in data:
+                self.seg_prob[...] = data["seg_qprob"]
+            self.origins = data["origins"].item()
+            self.overlaps = data["overlaps"].item()
+            self._deferred = [tuple(int(v) for v in row)
+                              for row in data["deferred"]]
+            self._max_id = int(np.max(self.segmentation, initial=0))
+            self._seed_policy_state = data["seed_policy_state"]
+            self.counters.loads_np(data["counters"])
+            for li, saved in enumerate(data["lanes"]):
+                if saved is None or li >= self.lanes:
+                    continue
+                lane = self._lanes[li]
+                lane.state = _RUNNING
+                lane.start_pos = np.asarray(saved["start_pos"])
+                lane.queue = [(float(s), tuple(int(v) for v in p))
+                              for s, p in saved["queue"]]
+                lane.pending = [(float(s), tuple(int(v) for v in p))
+                                for s, p in saved["pending"]]
+                lane.done_cells = {tuple(int(v) for v in row)
+                                   for row in saved["done_cells"]}
+                lane.min_pos = np.asarray(saved["min_pos"])
+                lane.max_pos = np.asarray(saved["max_pos"])
+                lane.num_iters = int(saved["num_iters"])
+                lane.t_start = time.time()
+                self._seeds_dev = self.engine.set_lane_seed_region(
+                    self._seeds_dev, li, saved["region_start"],
+                    saved["region"])
+        self.log_info("Batch-canvas checkpoint restored (%d lanes "
+                      "in flight).", sum(1 for lane in self._lanes
+                                         if lane.state == _RUNNING))
+        return 0
+
+    def _maybe_save_checkpoint(self):
+        if self.checkpoint_path is None or \
+                self.checkpoint_interval_sec <= 0:
+            return
+        if time.time() - self.checkpoint_last < self.checkpoint_interval_sec:
+            return
+        self.save_checkpoint(self.checkpoint_path)
+        self.checkpoint_last = time.time()
+
     # -- main loop -------------------------------------------------------------
 
-    def segment_all(self, seed_policy=seed_lib.PolicyPeaks):
+    def segment_all(self, seed_policy=seed_lib.PolicyPeaks,
+                    partial_segment_iters: int = 0):
+        del partial_segment_iters  # lane progress is restored per lane
         self.seed_policy = seed_policy(self)
+        if self._seed_policy_state is not None:
+            self.seed_policy.set_state(self._seed_policy_state)
+            self._seed_policy_state = None
         seed_iter = TimedIter(self.seed_policy, self.counters,
                               "seed-policy")
         seeds_exhausted = False
@@ -215,6 +330,7 @@ class BatchCanvas:
 
         with timer_counter(self.counters, "segment_all"):
             while True:
+                self._maybe_save_checkpoint()
                 # 1. Assign fresh seeds to idle lanes.
                 reset_mask = np.zeros(B, bool)
                 reset_pos = np.zeros((B, 3), np.int32)

@@ -387,7 +387,7 @@ class Canvas:
             self._max_pos = data["max_pos"]
             self.movement_policy.restore_state(data["movement_policy"])
             self._seed_policy_state = data["seed_policy_state"]
-            self.counters.loads(data["counters"].item())
+            self.counters.loads_np(data["counters"])
             partial = int(data["partial_segment_iters"]) \
                 if "partial_segment_iters" in data else 0
             if "hosts" in data:
@@ -420,7 +420,7 @@ class Canvas:
                     history_deleted=np.array(self.history_deleted),
                     seed_policy_state=np.asarray(seed_policy_state,
                                                  dtype=object),
-                    counters=self.counters.dumps(),
+                    counters=self.counters.dumps_np(),
                     partial_segment_iters=partial_segment_iters,
                     hosts=self._hosts,
                     **aux)

@@ -105,9 +105,38 @@ class Counters:
 
     def loads(self, encoded: bytes):
         proto = inference_pb2.TaskCounters()
-        proto.ParseFromString(bytes(encoded))
+        encoded = bytes(encoded)
+        try:
+            proto.ParseFromString(encoded)
+        except Exception:
+            # Legacy npz checkpoints stored the proto as an S-dtype scalar,
+            # which silently strips trailing NUL bytes — i.e. a final
+            # varint 0. Re-append up to two zero bytes to recover.
+            for pad in (b"\x00", b"\x00\x00"):
+                try:
+                    proto.ParseFromString(encoded + pad)
+                    break
+                except Exception:
+                    continue
+            else:
+                raise
         for entry in proto.counters:
             self[entry.name].Set(entry.value)
+
+    def dumps_np(self) -> "np.ndarray":
+        """dumps() as a uint8 array — safe to round-trip through npz
+        (S-dtype scalars strip trailing NULs; uint8 arrays do not)."""
+        import numpy as np
+        return np.frombuffer(self.dumps(), dtype=np.uint8)
+
+    def loads_np(self, obj):
+        """Accepts dumps_np() arrays or legacy bytes scalars."""
+        import numpy as np
+        arr = np.asarray(obj)
+        if arr.dtype == np.uint8:
+            self.loads(arr.tobytes())
+        else:
+            self.loads(arr.item() if arr.shape == () else bytes(obj))
 
 
 @contextlib.contextmanager

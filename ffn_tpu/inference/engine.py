@@ -418,3 +418,33 @@ class FloodFillEngine:
         region = cache[bucket](seeds, jnp.int32(lane),
                                jnp.asarray(start, jnp.int32))
         return np.asarray(region), start
+
+    def set_lane_seed_region(self, seeds: jax.Array, lane: int, start_zyx,
+                             region: np.ndarray) -> jax.Array:
+        """Uploads a sub-box into one lane's seed buffer (checkpoint
+        restore). Bucketed like lane_seed_region; the bucket padding is
+        NaN, so this must target a freshly-NaN lane (new_seed_batch)."""
+        shape = seeds.shape[1:]
+        bucket = tuple(min(s, ((int(v) + 63) // 64) * 64)
+                       for v, s in zip(region.shape, shape))
+        start = np.minimum(np.maximum(np.asarray(start_zyx, np.int64), 0),
+                           np.array(shape) - np.array(bucket))
+        padded = np.full(bucket, np.nan, np.float32)
+        padded[tuple(slice(0, s) for s in region.shape)] = region
+
+        cache = getattr(self, "_set_region_fns", None)
+        if cache is None:
+            cache = self._set_region_fns = {}
+        if bucket not in cache:
+            def fn(seeds, lane, start, padded):
+                lane_buf = jax.lax.dynamic_index_in_dim(
+                    seeds, lane, axis=0, keepdims=False)
+                lane_buf = jax.lax.dynamic_update_slice(lane_buf, padded,
+                                                        start)
+                return jax.lax.dynamic_update_index_in_dim(
+                    seeds, lane_buf, lane, axis=0)
+
+            cache[bucket] = jax.jit(fn, donate_argnums=(0,))
+        return cache[bucket](seeds, jnp.int32(lane),
+                             jnp.asarray(start, jnp.int32),
+                             jnp.asarray(padded))

@@ -235,6 +235,9 @@ class Runner:
                 counters=subvol_counters,
                 restrictor=restrictor,
                 corner_zyx=dst_corner,
+                checkpoint_path=storage.checkpoint_path(
+                    self.request.segmentation_output_dir, corner),
+                checkpoint_interval_sec=self.request.checkpoint_interval,
                 **{**self.canvas_defaults, **canvas_kwargs})
         else:
             canvas = canvas_lib.Canvas(
@@ -317,8 +320,7 @@ class Runner:
             return None
 
         partial_segment_iters = 0
-        if os.path.exists(cpoint_path) and hasattr(canvas,
-                                                   "restore_checkpoint"):
+        if os.path.exists(cpoint_path):
             partial_segment_iters = canvas.restore_checkpoint(cpoint_path)
 
         if self.request.alignment_options.save_raw:
@@ -327,13 +329,9 @@ class Runner:
                 np.savez_compressed(fd, im=canvas.image)
 
         self.canvases[tuple(corner)] = canvas
-        if hasattr(canvas, "restore_checkpoint"):
-            canvas.segment_all(
-                seed_policy=self.get_seed_policy(corner, subvol_size),
-                partial_segment_iters=partial_segment_iters)
-        else:  # BatchCanvas
-            canvas.segment_all(
-                seed_policy=self.get_seed_policy(corner, subvol_size))
+        canvas.segment_all(
+            seed_policy=self.get_seed_policy(corner, subvol_size),
+            partial_segment_iters=partial_segment_iters)
         self.save_segmentation(canvas, alignment, seg_path, prob_path)
         del self.canvases[tuple(corner)]
 

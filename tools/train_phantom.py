@@ -107,8 +107,12 @@ def main():
     config = train_lib.TrainConfig(
         fov_size=(33, 33, 33), deltas=(8, 8, 8), depth=depth, features=32,
         batch_size=batch,
-        optimizer=optimizer_lib.OptimizerConfig(optimizer="adam",
-                                                learning_rate=1e-3))
+        precision=os.environ.get("PH_PRECISION", "bf16"),
+        remat=os.environ.get("PH_REMAT", "0") == "1",
+        ema_decay=float(os.environ.get("PH_EMA", "0.999")),
+        optimizer=optimizer_lib.OptimizerConfig(
+            optimizer="adam",
+            learning_rate=float(os.environ.get("PH_LR", "1e-3"))))
     data = train_loop.DataConfig(
         train_coords=coords_path,
         data_volumes=f"v:{vol_path}:raw",
@@ -119,7 +123,9 @@ def main():
     loop = train_loop.LoopConfig(
         train_dir=train_dir,
         max_steps=steps, summary_every_steps=50,
-        checkpoint_every_steps=int(os.environ.get("PH_CKPT_EVERY", "500")))
+        checkpoint_every_steps=int(os.environ.get("PH_CKPT_EVERY", "500")),
+        max_to_keep=int(os.environ.get("PH_MAX_KEEP", "5")),
+        keep_every_n_steps=int(os.environ.get("PH_KEEP_EVERY", "2000")))
 
     trainer = os.environ.get("PH_TRAINER", "host_loop")
     t0 = time.time()

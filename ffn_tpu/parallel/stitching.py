@@ -22,23 +22,32 @@ from ffn_tpu.utils import labels as labels_lib
 
 
 class UnionFind:
-    """Union-find over hashable keys with path compression."""
+    """Union-find over hashable keys: iterative path halving + union by
+    size, so pod-scale merge chains neither recurse past Python's stack
+    limit nor degenerate to linear walks."""
 
     def __init__(self):
         self.parent = {}
+        self._size = {}
 
     def find(self, key):
         parent = self.parent.setdefault(key, key)
         if parent == key:
+            self._size.setdefault(key, 1)
             return key
-        root = self.find(parent)
-        self.parent[key] = root
-        return root
+        while self.parent[key] != key:
+            self.parent[key] = self.parent[self.parent[key]]
+            key = self.parent[key]
+        return key
 
     def union(self, a, b):
         ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.parent[rb] = ra
+        if ra == rb:
+            return
+        if self._size[ra] < self._size[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        self._size[ra] += self._size[rb]
 
 
 def match_ids_in_overlap(seg_a: np.ndarray, seg_b: np.ndarray,
@@ -95,29 +104,51 @@ class SubvolumeStitcher:
         return seg
 
     def build(self):
-        """Scans all +x/+y/+z neighbor pairs and unions matching ids."""
-        num = self.calc.num_sub_boxes()
-        cache = {}
+        """Scans all +x/+y/+z neighbor pairs and unions matching ids.
 
-        def seg_for(index):
-            if index not in cache:
-                cache[index] = self._load(self.calc.index_to_sub_box(index))
-                # Keep the cache bounded: a row of subvolumes suffices for
-                # the +x scan; y/z neighbors reload.
-                if len(cache) > 8:
-                    cache.pop(next(iter(cache)))
-            return cache[index]
+        Single pass, each subvolume loaded exactly ONCE: when a subvolume
+        is loaded, its overlap crops with +axis neighbors are stored
+        (small boundary slabs, not full volumes) and matched against the
+        stored slabs of its -axis predecessors, which are then released.
+        Peak memory is one x-slab + one row of y-slabs + one plane of
+        z-slabs — independent of the grid's total size.
+        """
+        num = self.calc.num_sub_boxes()
+        pending = {}  # (pred_index, this_index) -> pred's overlap crop
+
+        def drop_pending_for(index):
+            for axis_offset in ((-1, 0, 0), (0, -1, 0), (0, 0, -1)):
+                pred = self.calc.offset_to_index(index, axis_offset)
+                if pred is not None:
+                    pending.pop((pred, index), None)
 
         for index in range(num):
             box = self.calc.index_to_sub_box(index)
-            seg = seg_for(index)
+            seg = self._load(box)
             if seg is None:
+                drop_pending_for(index)
                 continue
             # Register all ids so isolated segments get global ids too.
             for sid in np.unique(seg):
                 if sid > 0:
                     self.uf.find((index, int(sid)))
 
+            # Match against predecessors whose slabs are waiting on us.
+            for axis_offset in ((-1, 0, 0), (0, -1, 0), (0, 0, -1)):
+                pred_index = self.calc.offset_to_index(index, axis_offset)
+                if pred_index is None:
+                    continue
+                crop_pred = pending.pop((pred_index, index), None)
+                if crop_pred is None:
+                    continue
+                pred_box = self.calc.index_to_sub_box(pred_index)
+                overlap = bounding_box.intersection(box, pred_box)
+                crop_here = self._crop(seg, box, overlap)
+                for id_p, id_h in match_ids_in_overlap(
+                        crop_pred, crop_here, self.min_overlap_fraction):
+                    self.uf.union((pred_index, id_p), (index, id_h))
+
+            # Stash this subvolume's slabs for its +axis successors.
             for axis_offset in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
                 nbr_index = self.calc.offset_to_index(index, axis_offset)
                 if nbr_index is None:
@@ -126,15 +157,8 @@ class SubvolumeStitcher:
                 overlap = bounding_box.intersection(box, nbr_box)
                 if overlap is None:
                     continue
-                nbr_seg = seg_for(nbr_index)
-                if nbr_seg is None:
-                    continue
-
-                crop_a = self._crop(seg, box, overlap)
-                crop_b = self._crop(nbr_seg, nbr_box, overlap)
-                for id_a, id_b in match_ids_in_overlap(
-                        crop_a, crop_b, self.min_overlap_fraction):
-                    self.uf.union((index, id_a), (nbr_index, id_b))
+                pending[(index, nbr_index)] = self._crop(seg, box,
+                                                         overlap).copy()
 
         # Assign dense global ids to union roots.
         self._global_ids = {}

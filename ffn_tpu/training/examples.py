@@ -128,48 +128,57 @@ def fixed_offsets(info, seed, labels, eval_tracker, threshold,
         yield off
 
 
+def _delta_shell(shape_zyx, deltas_xyz) -> np.ndarray:
+    """Boolean zyx mask of the delta-lattice shell around the canvas
+    center: voxels within the delta box that lie on at least one of its
+    faces (the positions a single FOV move can land on)."""
+    dists = [np.abs(np.arange(n) - n // 2)
+             for n in shape_zyx]                       # per-axis |offset|
+    d_zyx = deltas_xyz[::-1]
+    within = np.ones(tuple(shape_zyx), bool)
+    on_face = np.zeros(tuple(shape_zyx), bool)
+    for axis, (dist, delta) in enumerate(zip(dists, d_zyx)):
+        shape = [1, 1, 1]
+        shape[axis] = -1
+        within &= (dist <= delta).reshape(shape)
+        on_face |= (dist == delta).reshape(shape)
+    return within & on_face
+
+
 def fixed_offsets_window(info, seed, labels, eval_tracker, threshold,
                          fov_shifts=None, radius: int = 4):
     """fixed_offsets but accepting any above-threshold voxel within a
     window on the delta shell orthogonal to the move direction."""
-    off = 0, 0, 0
     label_threshold = special.expit(threshold)
-    valid_move, wanted_move = _eval_move(seed, labels, off, threshold,
-                                         label_threshold)
-    eval_tracker.record_move(wanted_move, valid_move, off)
+    center_off = (0, 0, 0)
+    valid_move, wanted_move = _eval_move(seed, labels, center_off,
+                                         threshold, label_threshold)
+    eval_tracker.record_move(wanted_move, valid_move, center_off)
     if valid_move:
-        yield off
+        yield center_off
 
+    shell = _delta_shell(seed.shape[1:4], info.deltas)
     seed_center = np.array(seed.shape[1:4]) // 2
-    label_center = np.array(labels.shape[1:4]) // 2
+    label_shift = np.array(labels.shape[1:4]) // 2 - seed_center
 
-    hz, hy, hx = np.mgrid[:seed.shape[1], :seed.shape[2], :seed.shape[3]]
-    hz -= seed_center[0]
-    hy -= seed_center[1]
-    hx -= seed_center[2]
-    halo = ((np.abs(hx) <= info.deltas[0]) &
-            (np.abs(hy) <= info.deltas[1]) &
-            (np.abs(hz) <= info.deltas[2]) &
-            ((np.abs(hx) == info.deltas[0]) |
-             (np.abs(hy) == info.deltas[1]) |
-             (np.abs(hz) == info.deltas[2])))
+    def window_hits(volume, points_zyx, shift, level):
+        """Any volume value >= level at the given (shifted) points?"""
+        z, y, x = (points_zyx + shift.reshape(3, 1)) if shift.any() \
+            else points_zyx
+        return bool(np.any(volume[:, z, y, x, :] >= level))
 
+    no_shift = np.zeros(3, np.int64)
     for off in fov_shifts:  # xyz
-        off_center = seed_center + off[::-1]
-        pre = off_center - radius
-        post = off_center + radius + 1
-        zz, yy, xx = np.where(halo[pre[0]:post[0], pre[1]:post[1],
-                                   pre[2]:post[2]])
-        zz_s = zz + pre[0]
-        yy_s = yy + pre[1]
-        xx_s = xx + pre[2]
-        xx_l = xx_s + label_center[2] - seed_center[2]
-        yy_l = yy_s + label_center[1] - seed_center[1]
-        zz_l = zz_s + label_center[0] - seed_center[0]
+        # Window: the +/-radius box around the shifted center, intersected
+        # with the delta shell.
+        lo = seed_center + off[::-1] - radius
+        hi = lo + 2 * radius + 1
+        win = shell[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+        points = np.stack(np.nonzero(win)) + lo.reshape(3, 1)
 
-        valid_move = np.any(seed[:, zz_s, yy_s, xx_s, :] >= threshold)
-        wanted_move = np.any(
-            labels[:, zz_l, yy_l, xx_l, :] >= label_threshold)
+        valid_move = window_hits(seed, points, no_shift, threshold)
+        wanted_move = window_hits(labels, points, label_shift,
+                                  label_threshold)
         eval_tracker.record_move(wanted_move, valid_move, off)
         if valid_move:
             yield off

@@ -1,8 +1,10 @@
 """Orthogonal-plane visualization of 3d volumes.
 
-Parity with the reference's ffn/utils/ortho_plane_visualization.py:28-134:
-cut three axis-orthogonal planes through a point, assemble them into one
-2d panel, and NaN-aware color normalization.
+Same public contract as the reference's
+ffn/utils/ortho_plane_visualization.py:28-134 (plane order yx/zx/zy, panel
+layout with the zy plane transposed into the top-right, red=negative /
+blue=positive / green=NaN color coding), implemented around an explicit
+layout table and a signed-channel decomposition.
 """
 
 from __future__ import annotations
@@ -13,71 +15,85 @@ import numpy as np
 from scipy.special import expit
 
 
+def _dim_crosshair(plane: np.ndarray, row: int, col: int) -> np.ndarray:
+    """Returns a copy of `plane` with its crosshair row/column dimmed."""
+    out = plane.copy()
+    out[row, ...] = out[row, ...] * 0.5
+    out[:, col, ...] = out[:, col, ...] * 0.5
+    return out
+
+
 def cut_ortho_planes(vol: np.ndarray,
                      center: Optional[Sequence[int]] = None,
                      cross_hair: bool = False) -> list:
-    """Cuts the yx, zx, zy planes through `center` of a zyx(c) volume."""
+    """Cuts the three axis-orthogonal planes of a zyx(c) volume through
+    `center` (defaults to the volume center). Returns [yx, zx, zy]."""
     if center is None:
-        center = np.array(vol.shape[:3]) // 2
+        center = tuple(int(s) // 2 for s in vol.shape[:3])
+    cz, cy, cx = (int(v) for v in center[:3])
 
-    planes = []
-    for axis, ix in enumerate(center):
-        cut_slice = [slice(None)] * 3
-        cut_slice[axis] = ix
-        planes.append(vol[tuple(cut_slice)])
-        if cross_hair:
-            plane = planes[-1].copy()
-            i = 0
-            for ax, c in enumerate(center):
-                if ax != axis:
-                    view = np.rollaxis(plane, i)
-                    view[c] = view[c] * 0.5
-                    i += 1
-            planes[-1] = plane
-    return planes
+    # (plane, crosshair row index, crosshair column index) — the remaining
+    # two center coordinates in the plane's own row/col order.
+    cuts = (
+        (vol[cz], cy, cx),   # yx
+        (vol[:, cy], cz, cx),  # zx
+        (vol[:, :, cx], cz, cy),  # zy
+    )
+    return [_dim_crosshair(plane, r, c) if cross_hair else plane
+            for plane, r, c in cuts]
 
 
 def concat_ortho_planes(planes: Sequence[np.ndarray]) -> np.ndarray:
-    """Assembles the yx/zx/zy planes into one 2d panel."""
-    assert len(planes) == 3
-    h_yx, w_yx = planes[0].shape[0], planes[0].shape[1]
-    h_zx, w_zx = planes[1].shape[0], planes[1].shape[1]
-    h_zy, w_zy = planes[2].shape[1], planes[2].shape[0]
-    assert h_yx == h_zy
-    assert w_yx == w_zx
-    assert h_zx == w_zy
+    """Assembles [yx, zx, zy] planes into one 2d panel.
 
-    height = h_yx + 1 + h_zx
-    width = w_yx + 1 + w_zy
-    channel = planes[0].shape[2:]
-    ret = np.zeros((height, width) + channel, dtype=planes[0].dtype)
-    ret[:h_yx, :w_yx] = planes[0]          # yx top left
-    ret[-h_zx:, :w_zx] = planes[1]         # zx bottom left
-    ret[:h_zy, -w_zy:] = np.swapaxes(planes[2], 0, 1)  # zy top right
-    return ret
+    Layout (1px gutters):  [ yx | zy^T ]
+                           [ zx |      ]
+    """
+    yx, zx, zy = planes
+    zy_t = np.swapaxes(zy, 0, 1)
+    ny, nx = yx.shape[:2]
+    nz = zx.shape[0]
+    if zy_t.shape[0] != ny or zx.shape[1] != nx or zy_t.shape[1] != nz:
+        raise AssertionError(
+            f"inconsistent plane shapes: yx={yx.shape} zx={zx.shape} "
+            f"zy={zy.shape}")
+
+    panel = np.zeros((ny + 1 + nz, nx + 1 + nz) + yx.shape[2:],
+                     dtype=yx.dtype)
+    panel[:ny, :nx] = yx
+    panel[ny + 1:, :nx] = zx
+    panel[:ny, nx + 1:] = zy_t
+    return panel
+
+
+# act-name -> (negative-channel fn, positive-channel fn); lo/hi are the
+# image extrema, used only by the normalizing (None) mode.
+_CHANNEL_MAPS = {
+    None: lambda lo, hi: (
+        lambda v: np.clip(v, lo, 0) / lo if lo < 0 else np.zeros_like(v),
+        lambda v: np.clip(v, 0, hi) / hi if hi > 0 else np.zeros_like(v)),
+    "tanh": lambda lo, hi: (
+        lambda v: np.tanh(np.clip(v, lo, 0)),
+        lambda v: np.tanh(np.clip(v, 0, hi))),
+    "sig": lambda lo, hi: (expit, expit),
+}
 
 
 def normalize_image(img2d: np.ndarray,
                     act: Optional[str] = None) -> np.ndarray:
     """Maps an unbounded grey image to RGB in [0, 1].
 
-    Red encodes negative values, blue positive, green NaN.
+    Channel coding: red <- negative values, blue <- positive values,
+    green <- NaN. `act` selects the scaling: None normalizes by the
+    negative/positive extrema, 'tanh' and 'sig' squash absolutely.
     """
-    img2d = np.array(img2d, dtype=np.float32)
-    nan_mask = np.isnan(img2d)
-    img2d[nan_mask] = 0
-    lo, hi = img2d.min(), img2d.max()
-    img_rgb = np.zeros(img2d.shape + (3,), dtype=np.float32)
-    if act == "tanh":
-        img_rgb[~nan_mask, 0] = np.tanh(np.clip(img2d, lo, 0))[~nan_mask]
-        img_rgb[~nan_mask, 2] = np.tanh(np.clip(img2d, 0, hi))[~nan_mask]
-    elif act == "sig":
-        img_rgb[~nan_mask, 0] = expit(img2d[~nan_mask])
-        img_rgb[~nan_mask, 2] = img_rgb[~nan_mask, 0]
-    else:
-        if lo < 0:
-            img_rgb[~nan_mask, 0] = (np.clip(img2d, lo, 0) / lo)[~nan_mask]
-        if hi > 0:
-            img_rgb[~nan_mask, 2] = (np.clip(img2d, 0, hi) / hi)[~nan_mask]
-    img_rgb[nan_mask, 1] = 1.0
-    return img_rgb
+    img2d = np.array(img2d, dtype=np.float32)  # copy; NaNs are replaced
+    nan = np.isnan(img2d)
+    img2d[nan] = 0.0
+
+    neg_fn, pos_fn = _CHANNEL_MAPS[act](img2d.min(), img2d.max())
+    rgb = np.zeros(img2d.shape + (3,), np.float32)
+    rgb[..., 0] = np.where(nan, 0.0, neg_fn(img2d))
+    rgb[..., 2] = np.where(nan, 0.0, pos_fn(img2d))
+    rgb[..., 1] = nan.astype(np.float32)
+    return rgb

@@ -88,3 +88,16 @@ def test_seed_handoff_policy(tmp_path):
     seg, origins = storage.load_segmentation(
         str(tmp_path / "seg"), (0, 0, 32), split_cc=False)
     assert len(origins) >= 1
+
+
+def test_union_find_long_chain_and_by_size():
+    """Pod-scale merge chains: no recursion limit, near-flat trees."""
+    uf = stitching.UnionFind()
+    n = 50_000  # far beyond Python's default recursion limit
+    for i in range(n - 1):
+        uf.union(i, i + 1)
+    root = uf.find(0)
+    assert uf.find(n - 1) == root
+    assert uf.find(n // 2) == root
+    # Path halving flattened the walked paths.
+    assert sum(1 for k, v in uf.parent.items() if k != v) >= 1

@@ -237,6 +237,58 @@ def test_packed_scan_step_matches_explicit():
     assert int(p_metrics["fp"]) == int(np.sum((x > 0) & (z <= 0.5)))
 
 
+def test_fixed_offsets_window_policy():
+    """Window policy semantics, pinned by an independent brute-force
+    oracle: a move is valid iff ANY seed voxel within +/-radius of the
+    shifted center that lies on the delta shell is above threshold."""
+    model = small_model()
+    info = model.info
+    deltas = info.deltas  # (2, 2, 2) xyz
+    thr = logit(0.9)
+    shape = (1, 13, 13, 13, 1)
+    rng = np.random.RandomState(5)
+
+    def oracle_hits(vol, off_xyz, radius, level):
+        center = np.array(vol.shape[1:4]) // 2
+        hits = False
+        for dz in range(-deltas[2], deltas[2] + 1):
+            for dy in range(-deltas[1], deltas[1] + 1):
+                for dx in range(-deltas[0], deltas[0] + 1):
+                    on_shell = (abs(dz) == deltas[2] or abs(dy) == deltas[1]
+                                or abs(dx) == deltas[0])
+                    if not on_shell:
+                        continue
+                    p = center + (dz, dy, dx)
+                    w = p - (center + np.array(off_xyz)[::-1])
+                    if np.any(np.abs(w) > radius):
+                        continue
+                    if vol[0, p[0], p[1], p[2], 0] >= level:
+                        hits = True
+        return hits
+
+    for trial in range(5):
+        seed = np.full(shape, logit(0.05), np.float32)
+        seed[0, 6, 6, 6, 0] = logit(0.95)
+        # Sprinkle a few random hot voxels.
+        for _ in range(6):
+            z, y, x = rng.randint(2, 11, 3)
+            seed[0, z, y, x, 0] = logit(0.95)
+        labels = (rng.rand(*shape) > 0.6).astype(np.float32) * 0.95 + 0.05
+
+        tr = tracker_lib.EvalTracker((5, 5, 5))
+        shifts = [(2, 0, 0), (0, 2, 0), (0, 0, 2), (-2, 0, 0)]
+        got = list(examples_lib.fixed_offsets_window(
+            info, seed, labels, tr, threshold=thr, fov_shifts=shifts,
+            radius=1))
+        expect = []
+        if seed[0, 6, 6, 6, 0] >= thr:
+            expect.append((0, 0, 0))
+        for off in shifts:
+            if oracle_hits(seed, off, 1, thr):
+                expect.append(off)
+        assert got == expect, (trial, got, expect)
+
+
 def test_fixed_offsets_policy_parity():
     """examples.fixed_offsets yields exactly the moves whose seed gate
     passes, recording stats."""

@@ -198,8 +198,15 @@ class Canvas:
             self.seed[sel] = logits
         return logits
 
-    def segment_at(self, start_pos, partial_segment_iters=0) -> int:
-        """Flood-fills one object from `start_pos`; returns #iterations."""
+    def segment_at(self, start_pos, partial_segment_iters=0,
+                   dynamic_image=None, vis_update_every: int = 10,
+                   vis_fixed_z: bool = False) -> int:
+        """Flood-fills one object from `start_pos`; returns #iterations.
+
+        dynamic_image/vis_update_every/vis_fixed_z: optional live notebook
+        visualization (live_viz.DynamicImage), updated every N iterations —
+        reference inference.py:460-527 surface.
+        """
         if not partial_segment_iters:
             if self.reset_seed_per_segment:
                 self.init_seed(start_pos)
@@ -231,6 +238,14 @@ class Canvas:
 
                 if self._keep_history:
                     self.history.append(pos)
+                if dynamic_image is not None and \
+                        num_iters % vis_update_every == 0:
+                    from ffn_tpu.inference import live_viz
+                    vis_pos = (start_pos[0], pos[1], pos[2]) \
+                        if vis_fixed_z else pos
+                    live_viz.visualize_state(self.seed, vis_pos,
+                                             self.movement_policy,
+                                             dynamic_image)
                 self._maybe_save_checkpoint(partial_segment_iters=num_iters)
 
         return num_iters

@@ -46,13 +46,19 @@ def main():
     precision = (jax.lax.Precision.HIGHEST
                  if os.environ.get("BENCH_PRECISION") == "highest"
                  else None)
-    dtype = (jnp.float32 if os.environ.get("BENCH_DTYPE") == "f32"
-             else jnp.bfloat16)
+    bench_dtype = os.environ.get("BENCH_DTYPE", "bf16")
+    dtype = jnp.float32 if bench_dtype == "f32" else jnp.bfloat16
 
     model = convstack_3d.ConvStack3DFFNModel(
         fov_size=[33, 33, 33], deltas=[8, 8, 8], depth=12, features=32,
         precision=precision, dtype=dtype)
     params = model.init_params(jax.random.PRNGKey(0))
+    if bench_dtype == "int8":
+        # Quantized MXU fast path (ops/quantized.py).
+        from ffn_tpu.ops import quantized
+        qmodel = quantized.QuantizedConvStack3DModel(model)
+        params = qmodel.prepare(params)
+        model = qmodel
     eng = engine_lib.FloodFillEngine(
         model, params, pad_value=-2.944, move_threshold=2.197,
         disco_seed_threshold=0.0)

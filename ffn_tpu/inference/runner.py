@@ -69,12 +69,23 @@ class Runner:
         self._aligner = align_lib.Aligner()
         self._mask_volumes = {}
 
-    def start(self, request, batch_size: Optional[int] = None):
-        """Opens volumes and builds the model + engine from the request."""
+    def start(self, request, batch_size: Optional[int] = None,
+              precision: Optional[str] = None):
+        """Opens volumes and builds the model + engine from the request.
+
+        precision: None (model default) | "int8" — the quantized MXU fast
+        path (ops/quantized.py), ~2x throughput at slightly reduced
+        fidelity (the TPU analog of the reference's
+        auto_mixed_precision inference, doc/manual.md:99-105). Also
+        selectable via the FFN_TPU_PRECISION env var.
+        """
         self.request = request
         if batch_size is not None:
             self.request.batch_size = batch_size
         logging.debug("Received request:\n%s", request)
+
+        if precision is None:
+            precision = os.environ.get("FFN_TPU_PRECISION") or None
 
         if not os.path.exists(request.segmentation_output_dir):
             os.makedirs(request.segmentation_output_dir, exist_ok=True)
@@ -93,6 +104,12 @@ class Runner:
             else:
                 # Checkpoint-free run (oracle/random-init models).
                 self.model_params = self.model.init_params()
+
+        if precision == "int8":
+            from ffn_tpu.ops import quantized
+            qmodel = quantized.QuantizedConvStack3DModel(self.model)
+            self.model_params = qmodel.prepare(self.model_params)
+            self.model = qmodel
 
         opts = request.inference_options
         from scipy.special import logit as _logit

@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 
 def main():
+    from absl import logging as absl_logging
+    absl_logging.set_verbosity(absl_logging.INFO)
     import jax
 
     cache_dir = os.path.join(

@@ -116,7 +116,8 @@ inference_options {{
     if max_iters:
         runner.canvas_defaults["max_iters_per_segment"] = max_iters
     t0 = time.time()
-    runner.start(request)
+    runner.start(request,
+                 precision="int8" if dtype == "int8" else None)
     t_start = time.time() - t0
     print(f"runner.start: {t_start:.1f}s", flush=True)
 

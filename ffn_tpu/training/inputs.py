@@ -239,9 +239,16 @@ class PrefetchingLoader:
 
     def _fill(self):
         while True:
-            self._queue.put(self._loader())
+            try:
+                item = (True, self._loader())
+            except BaseException as e:  # surface in the consumer thread
+                self._queue.put((False, e))
+                return
+            self._queue.put(item)
 
     def __call__(self):
-        item = self._queue.get()
+        ok, item = self._queue.get()
+        if not ok:
+            raise RuntimeError("prefetch loader thread failed") from item
         self.consumed += 1
         return item

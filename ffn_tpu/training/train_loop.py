@@ -54,6 +54,58 @@ class LoopConfig:
     # ... but never delete checkpoints whose step is a multiple of this
     # (0 = none preserved). Matches ref jax/train.py:355-371 semantics.
     keep_every_n_steps: int = 0
+    # Failure detection: if no training step completes for this many
+    # seconds (wedged accelerator RPC, dead data thread, ...), dump all
+    # thread stacks to stderr and hard-exit with code 42 so a supervisor
+    # can relaunch; training resumes exactly from the last checkpoint
+    # (see _restore/_restore_extra). 0 disables.
+    stall_timeout_secs: float = 0.0
+
+
+class _StallWatchdog:
+    """Hard-exits a wedged training process so a supervisor can restart.
+
+    Soft failure detection (the SIGTERM preemption path) only works when
+    the main loop still advances; a hung device RPC or a dead prefetch
+    thread stalls the loop forever. This watchdog runs in a daemon
+    thread, requires a `beat()` at least every `timeout` seconds, and on
+    violation dumps all stacks (faulthandler) and os._exit(42).
+    """
+
+    EXIT_CODE = 42
+
+    def __init__(self, timeout_secs: float):
+        import threading
+        self._timeout = timeout_secs
+        self._last = time.time()
+        self._stopped = False
+        if timeout_secs > 0:
+            t = threading.Thread(target=self._watch, daemon=True)
+            t.start()
+
+    def beat(self):
+        self._last = time.time()
+
+    def stop(self):
+        self._stopped = True
+
+    def _watch(self):
+        import faulthandler
+        import sys
+        while not self._stopped:
+            time.sleep(min(self._timeout / 4, 30.0))
+            if self._stopped:
+                return
+            if time.time() - self._last > self._timeout:
+                logging.error(
+                    "No training progress for %.0f s — assuming a wedged "
+                    "device/data pipeline; dumping stacks and exiting %d "
+                    "for supervised restart.", self._timeout,
+                    self.EXIT_CODE)
+                faulthandler.dump_traceback(file=sys.stderr,
+                                            all_threads=True)
+                sys.stderr.flush()
+                os._exit(self.EXIT_CODE)
 
 
 class ExampleBatcher:
@@ -264,6 +316,7 @@ def run_training(model_name: str, model_args: str,
     # checkpoint, and exit cleanly (ref jax/train.py:697-701). Multi-host:
     # the flag is OR-ed across processes so everyone exits together.
     stop = _PreemptionWatcher()
+    watchdog = _StallWatchdog(loop.stall_timeout_secs)
 
     def stop_requested():
         if n_proc == 1:
@@ -283,15 +336,44 @@ def run_training(model_name: str, model_args: str,
 
     t_last = time.time()
     summaries = {}
+    # The packed path pipelines host work against the device: metrics of
+    # step N are consumed while step N+1 runs on device (jax async
+    # dispatch), so tracker reads and batch assembly hide behind compute.
+    pending = None  # (step, metrics, offsets) awaiting tracker ingestion
+
+    def ingest(entry):
+        if entry is None:
+            return
+        _, m, offs = entry
+        _update_tracker_packed(tracker, m, offs)
+
+    def emit_summary(step, metrics):
+        nonlocal summaries, t_last
+        summaries = tracker.get_summaries()
+        losses = np.asarray(metrics["loss"])
+        act = np.asarray(metrics["active"]) > 0
+        dt = time.time() - t_last
+        t_last = time.time()
+        logging.info(
+            "step %d loss %.4f moves/correct %.3f (%.2f steps/s)",
+            step, float(losses[act].mean()),
+            summaries["moves/correct"],
+            loop.summary_every_steps / dt)
+        if is_chief:
+            _write_summaries(loop.train_dir, step, summaries)
+
     for step in range(start_step, loop.max_steps):
-        offsets = put_repl(jnp.asarray(train_lib.fixed_offsets_zyx(
-            info, shuffle=config.shuffle_fov_moves, rng=shuffle_rng)))
+        offsets_np = train_lib.fixed_offsets_zyx(
+            info, shuffle=config.shuffle_fov_moves, rng=shuffle_rng)
+        offsets = put_repl(jnp.asarray(offsets_np))
         if packed:
             image_u8, lom_u8 = next_batch()
             params, opt_state, ema, scale_state, metrics = step_fn(
                 params, opt_state, ema, scale_state, put_batched(image_u8),
                 put_batched(lom_u8), offsets)
-            _update_tracker_packed(tracker, metrics, offsets)
+            # Device is now busy with THIS step; ingest the previous one.
+            ingest(pending)
+            pending = (step + 1, metrics, offsets_np)
         else:
             seeds, images, labels, weights = next_batch()
             params, opt_state, ema, scale_state, out_seeds, metrics = \
@@ -302,21 +384,18 @@ def run_training(model_name: str, model_args: str,
             _update_tracker(tracker, metrics, offsets, labels, out_seeds,
                             weights)
 
-        if (step + 1) % loop.summary_every_steps == 0:
-            summaries = tracker.get_summaries()
-            losses = np.asarray(metrics["loss"])
-            act = np.asarray(metrics["active"]) > 0
-            dt = time.time() - t_last
-            t_last = time.time()
-            logging.info(
-                "step %d loss %.4f moves/correct %.3f (%.2f steps/s)",
-                step + 1, float(losses[act].mean()),
-                summaries["moves/correct"],
-                loop.summary_every_steps / dt)
-            if is_chief:
-                _write_summaries(loop.train_dir, step + 1, summaries)
-
+        watchdog.beat()
         preempted = stop_requested()
+        boundary = ((step + 1) % loop.summary_every_steps == 0
+                    or (step + 1) % loop.checkpoint_every_steps == 0
+                    or step + 1 == loop.max_steps or preempted)
+        if boundary and packed and pending is not None:
+            ingest(pending)   # flush so summaries/ckpts see this step
+            pending = None
+
+        if (step + 1) % loop.summary_every_steps == 0:
+            emit_summary(step + 1, metrics)
+
         if (step + 1) % loop.checkpoint_every_steps == 0 or \
                 step + 1 == loop.max_steps or preempted:
             save(step + 1)
@@ -325,6 +404,7 @@ def run_training(model_name: str, model_args: str,
                          "and exiting.", step + 1)
             break
 
+    watchdog.stop()
     return summaries
 
 
@@ -453,9 +533,11 @@ def _update_tracker_packed(tracker, metrics, offsets):
     """Feeds the device-computed per-offset move stats AND eval-patch
     confusion/loss (computed on device by the packed step) into the host
     tracker — one small host read per step, no canvas download."""
-    correct = np.asarray(metrics["correct"])
-    missed = np.asarray(metrics["missed"])
-    spurious = np.asarray(metrics["spurious"])
+    host = jax.device_get({k: metrics[k] for k in (
+        "correct", "missed", "spurious", "patch_loss", "tp", "fp", "fn",
+        "tn")})
+    correct, missed, spurious = (host["correct"], host["missed"],
+                                 host["spurious"])
     for i, off in enumerate(np.asarray(offsets)):
         off_xyz = tuple(int(v) for v in off[::-1])
         radius = int(np.linalg.norm(off_xyz))
@@ -464,12 +546,12 @@ def _update_tracker_packed(tracker, metrics, offsets):
             stats.correct += int(correct[i])
             stats.missed += int(missed[i])
             stats.spurious += int(spurious[i])
-    tracker.loss_sum += float(np.asarray(metrics["patch_loss"]))
+    tracker.loss_sum += float(host["patch_loss"])
     tracker.loss_count += 1
-    tracker.tp += int(np.asarray(metrics["tp"]))
-    tracker.fp += int(np.asarray(metrics["fp"]))
-    tracker.fn += int(np.asarray(metrics["fn"]))
-    tracker.tn += int(np.asarray(metrics["tn"]))
+    tracker.tp += int(host["tp"])
+    tracker.fp += int(host["fp"])
+    tracker.fn += int(host["fn"])
+    tracker.tn += int(host["tn"])
     tracker.num_patches += 1
 
 

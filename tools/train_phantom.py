@@ -127,7 +127,9 @@ def main():
         max_steps=steps, summary_every_steps=50,
         checkpoint_every_steps=int(os.environ.get("PH_CKPT_EVERY", "500")),
         max_to_keep=int(os.environ.get("PH_MAX_KEEP", "5")),
-        keep_every_n_steps=int(os.environ.get("PH_KEEP_EVERY", "2000")))
+        keep_every_n_steps=int(os.environ.get("PH_KEEP_EVERY", "2000")),
+        stall_timeout_secs=float(os.environ.get("PH_STALL_TIMEOUT",
+                                                "900")))
 
     trainer = os.environ.get("PH_TRAINER", "host_loop")
     t0 = time.time()

@@ -72,6 +72,10 @@ flags.DEFINE_integer("num_processes", None,
                      "Total process count for multi-host training.")
 flags.DEFINE_integer("process_id", None,
                      "This process's index for multi-host training.")
+flags.DEFINE_float("stall_timeout_secs", 0.0,
+                   "If no step completes for this long, dump stacks and "
+                   "exit 42 for supervised restart (0 disables). Resumes "
+                   "from the last checkpoint on relaunch.")
 flags.DEFINE_integer("random_seed", 0, "Seed for sampling/augmentation.")
 flags.DEFINE_enum("trainer", "scan", ["scan", "host_loop"],
                   "scan: whole example fused into one XLA program "
@@ -150,7 +154,8 @@ def main(argv):
         max_steps=FLAGS.max_steps,
         summary_every_steps=FLAGS.summary_every_steps,
         checkpoint_every_steps=FLAGS.checkpoint_every_steps,
-        random_seed=FLAGS.random_seed)
+        random_seed=FLAGS.random_seed,
+        stall_timeout_secs=FLAGS.stall_timeout_secs)
 
     if FLAGS.trainer == "host_loop":
         train_loop.run_training_host_loop(

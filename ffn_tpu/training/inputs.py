@@ -33,6 +33,96 @@ def expand_shards(pattern: str) -> list[str]:
     return [f"{base}-{i:05d}-of-{num_shards:05d}" for i in range(num_shards)]
 
 
+def _read_coordinate_file(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Loads one coordinate file into (centers (N,3) int64, names (N,))."""
+    if path.endswith(".npy") or path.endswith(".npz"):
+        data = np.load(path, allow_pickle=False)
+        names = np.array([n.decode() if isinstance(n, bytes) else str(n)
+                          for n in data["label_volume_name"]])
+        return data["center"].astype(np.int64), names
+    centers, names = [], []
+    for blob in tfrecord.read_records(path):
+        ex = example_pb2.Example()
+        ex.ParseFromString(blob)
+        feats = ex.features.feature
+        centers.append(np.array(feats["center"].int64_list.value,
+                                np.int64))
+        names.append(feats["label_volume_name"].bytes_list.value[0]
+                     .decode())
+    return np.array(centers, np.int64).reshape(-1, 3), np.array(names)
+
+
+class CoordinateStream:
+    """Infinite (center_xyz, volume_name) stream over coordinate files
+    with a vectorized fast-forward.
+
+    Draw order (files shuffled per epoch, rows shuffled per file) matches
+    the historical generator exactly — it consumes the RNG with the same
+    calls — so checkpointed data cursors stay valid across versions.
+    """
+
+    def __init__(self, coordinates_file_pattern: str, shuffle: bool = True,
+                 rng: Optional[random.Random] = None):
+        self._files = []
+        for pattern in coordinates_file_pattern.split(","):
+            self._files.extend(expand_shards(pattern))
+        self._shuffle = shuffle
+        self._rng = rng if rng is not None else random.Random(0)
+        self._epoch_files: list = []
+        self._centers: Optional[np.ndarray] = None
+        self._names: Optional[np.ndarray] = None
+        self._pos = 0
+
+    def _advance_file(self):
+        if not self._epoch_files:
+            self._epoch_files = list(self._files)
+            if self._shuffle:
+                self._rng.shuffle(self._epoch_files)
+        path = self._epoch_files.pop(0)
+        centers, names = _read_coordinate_file(path)
+        # Reproduce the historical generator's RNG consumption exactly:
+        # it shuffled a list of row indices (npz) / records (tfrecord).
+        idx = list(range(len(centers)))
+        if self._shuffle:
+            self._rng.shuffle(idx)
+        idx = np.asarray(idx, np.int64)
+        self._centers = centers[idx]
+        self._names = names[idx]
+        self._pos = 0
+
+    def _exhausted(self) -> bool:
+        return self._centers is None or self._pos >= len(self._centers)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> tuple[np.ndarray, str]:
+        while self._exhausted():
+            self._advance_file()
+        center = self._centers[self._pos]
+        name = self._names[self._pos]
+        self._pos += 1
+        return center, str(name)
+
+    def skip_valid(self, n: int, valid_fn) -> None:
+        """Advances past the next n coordinates for which
+        valid_fn(centers (M,3), names (M,)) -> bool (M,) holds, without
+        yielding them. Vectorized: O(files touched), not O(n)."""
+        while n > 0:
+            while self._exhausted():
+                self._advance_file()
+            valid = np.asarray(
+                valid_fn(self._centers[self._pos:], self._names[self._pos:]))
+            passed = np.cumsum(valid)
+            total = int(passed[-1]) if len(passed) else 0
+            if total < n:
+                n -= total
+                self._pos = len(self._centers)
+            else:
+                self._pos += int(np.searchsorted(passed, n)) + 1
+                n = 0
+
+
 def load_patch_coordinates(coordinates_file_pattern: str,
                            shuffle: bool = True,
                            rng: Optional[random.Random] = None
@@ -42,41 +132,8 @@ def load_patch_coordinates(coordinates_file_pattern: str,
     Supports the reference's GZIP TFRecord format and .npy/.npz archives
     with 'center' (N, 3) and 'label_volume_name' (N,) arrays.
     """
-    files = []
-    for pattern in coordinates_file_pattern.split(","):
-        files.extend(expand_shards(pattern))
-    if rng is None:
-        rng = random.Random(0)
-
-    while True:
-        order = list(files)
-        if shuffle:
-            rng.shuffle(order)
-        for path in order:
-            if path.endswith(".npy") or path.endswith(".npz"):
-                data = np.load(path, allow_pickle=False)
-                centers = data["center"]
-                names = data["label_volume_name"]
-                idx = list(range(len(centers)))
-                if shuffle:
-                    rng.shuffle(idx)
-                for i in idx:
-                    name = names[i]
-                    if isinstance(name, bytes):
-                        name = name.decode()
-                    yield centers[i].astype(np.int64), str(name)
-            else:
-                records = list(tfrecord.read_records(path))
-                if shuffle:
-                    rng.shuffle(records)
-                for blob in records:
-                    ex = example_pb2.Example()
-                    ex.ParseFromString(blob)
-                    feats = ex.features.feature
-                    center = np.array(feats["center"].int64_list.value,
-                                      np.int64)
-                    name = feats["label_volume_name"].bytes_list.value[0]
-                    yield center, name.decode()
+    return CoordinateStream(coordinates_file_pattern, shuffle=shuffle,
+                            rng=rng)
 
 
 def parse_volume_map(spec: str) -> dict:
@@ -161,6 +218,25 @@ class ExampleLoader:
         # trainer, train_lib.make_scan_train_step_packed).
         self._raw = raw
 
+    def _valid_mask(self, centers: np.ndarray,
+                    names: np.ndarray) -> np.ndarray:
+        """Vectorized version of __call__'s bounds filter."""
+        ok = np.zeros(len(centers), bool)
+        for name in np.unique(names):
+            sel = names == name
+            c_zyx = centers[sel][:, ::-1]
+            good = np.ones(int(sel.sum()), bool)
+            for vol, size_xyz in (
+                    (self._image_volume_map[str(name)], self._image_size),
+                    (self._label_volume_map[str(name)], self._label_size)):
+                size = np.asarray(size_xyz[::-1])
+                shape = np.asarray(vol.shape[-3:])
+                start = c_zyx - size // 2
+                good &= np.all(start >= 0, axis=1) & \
+                    np.all(start + size <= shape, axis=1)
+            ok[sel] = good
+        return ok
+
     def fast_forward(self, n_examples: int) -> None:
         """Advances the coordinate stream past n in-bounds examples.
 
@@ -168,20 +244,12 @@ class ExampleLoader:
         patch data, so a resumed run continues from the exact coordinate
         the interrupted run would have used next (no replays, no skips).
         Role of the reference's t5x DatasetCheckpointHandler
-        (ffn/jax/train.py:423-505), done the coordinate-stream way.
+        (ffn/jax/train.py:423-505), done the coordinate-stream way;
+        vectorized, so even multi-million-example cursors restore in
+        seconds.
         """
-        skipped = 0
-        while skipped < n_examples:
-            coord, volname = next(self._coords)
-            image_vol = self._image_volume_map[volname]
-            label_vol = self._label_volume_map[volname]
-            if not coordinates_in_bounds(coord, self._image_size,
-                                         image_vol.shape):
-                continue
-            if not coordinates_in_bounds(coord, self._label_size,
-                                         label_vol.shape):
-                continue
-            skipped += 1
+        if n_examples > 0:
+            self._coords.skip_valid(n_examples, self._valid_mask)
 
     def __call__(self):
         while True:

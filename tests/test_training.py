@@ -401,3 +401,37 @@ def test_example_loader(tmp_path):
     # Center label is 7 -> LOM covers the whole crop (all inside object).
     assert (soft > 0.9).all()
     assert volname == "v"
+
+
+def test_coordinate_stream_skip_matches_manual_draws(tmp_path):
+    """skip_valid(n) lands exactly where n manual (filtered) draws land,
+    across file boundaries, and is vectorized-fast."""
+    import time as time_lib
+
+    rng = np.random.RandomState(0)
+    for shard in range(2):
+        centers = rng.randint(0, 50, (5000, 3)).astype(np.int64)
+        np.savez_compressed(
+            tmp_path / f"c{shard}.npz", center=centers,
+            label_volume_name=np.array(["v"] * len(centers)))
+    pattern = f"{tmp_path}/c0.npz,{tmp_path}/c1.npz"
+
+    # valid = x >= 10 (an arbitrary deterministic filter).
+    def valid_fn(cs, names):
+        return cs[:, 0] >= 10
+
+    a = inputs_lib.CoordinateStream(pattern, shuffle=True)
+    b = inputs_lib.CoordinateStream(pattern, shuffle=True)
+    n = 7000  # crosses into the second file
+    drawn = 0
+    while drawn < n:
+        c, _ = next(a)
+        if c[0] >= 10:
+            drawn += 1
+    t0 = time_lib.time()
+    b.skip_valid(n, valid_fn)
+    assert time_lib.time() - t0 < 1.0  # vectorized, not per-item
+    for _ in range(20):
+        ca, _ = next(a)
+        cb, _ = next(b)
+        np.testing.assert_array_equal(ca, cb)

@@ -136,3 +136,23 @@ def test_preemption_saves_and_exits(dataset, tmp_path):
     steps = train_loop._ckpt_steps(str(tmp_path / "p" / "ckpt"))
     # Exited long before max_steps, with a checkpoint written.
     assert steps and steps[-1] < 10_000
+
+
+def test_stall_watchdog_exits_42():
+    """A wedged loop (no beats) gets stack-dumped and exits 42."""
+    import subprocess
+    import sys
+
+    code = """
+import time
+from ffn_tpu.training.train_loop import _StallWatchdog
+w = _StallWatchdog(1.0)
+w.beat()
+time.sleep(60)   # never beats again -> watchdog must fire
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=60,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+    assert proc.returncode == 42, (proc.returncode, proc.stderr[-500:])
+    assert "Thread" in proc.stderr or "File" in proc.stderr  # stack dump

@@ -227,8 +227,8 @@ class BatchCanvas:
                     lane.min_pos - self._pred_size // 2, 0)
                 sel_end = np.minimum(
                     lane.max_pos + self._pred_size // 2 + 1, self.shape)
-                region, region_start = self.engine.lane_seed_region(
-                    self._seeds_dev, li, sel_start, sel_end - sel_start)
+                region, region_start = self._lane_region(
+                    li, sel_start, sel_end - sel_start)
                 lanes_state.append({
                     "start_pos": np.asarray(lane.start_pos),
                     "queue": lane.queue,
@@ -308,6 +308,82 @@ class BatchCanvas:
         self.save_checkpoint(self.checkpoint_path)
         self.checkpoint_last = time.time()
 
+    # -- seed scheduling (shared with HopBatchCanvas) --------------------------
+
+    def _assign_fresh_seeds(self, seed_iter, seeds_exhausted: bool):
+        """Picks seeds for idle lanes: retries deferred seeds whose region
+        is now free, then draws from the policy. Returns
+        (assignments [(lane_index, pos_zyx)], seeds_exhausted)."""
+        idle = [li for li, lane in enumerate(self._lanes)
+                if lane.state == _IDLE]
+        available = []
+
+        def near_available(cand):
+            # Two seeds assigned in the same round must not target the
+            # same region either (consecutive seeds cluster).
+            for picked in available:
+                if np.all(np.abs(np.asarray(cand)
+                                 - picked) <= self._pred_size):
+                    return True
+            return False
+
+        if idle:
+            boxes = self._active_lane_boxes()
+            # Retry seeds deferred earlier (their region was being flooded
+            # by another lane at the time). One vectorized screen per
+            # round.
+            if self._deferred:
+                deferred = np.array(self._deferred)
+                near = self._near_active(deferred, boxes)
+                still = []
+                for cand, n in zip(self._deferred, near):
+                    if len(available) >= len(idle) or n or \
+                            near_available(cand):
+                        still.append(cand)
+                    elif self._valid_seed_pos(tuple(cand)):
+                        available.append(tuple(cand))
+                self._deferred = still
+            while len(available) < len(idle) and not seeds_exhausted:
+                try:
+                    cand = next(seed_iter)
+                except StopIteration:
+                    seeds_exhausted = True
+                    break
+                if not self._valid_seed_pos(cand):
+                    continue
+                if self._near_active(np.array([cand]), boxes)[0] \
+                        or near_available(cand):
+                    # A running lane (or a seed picked this round) is
+                    # already flooding this region; retry once it
+                    # finalizes (usually rejected as already-segmented
+                    # then — matching serial ordering — but not dropped).
+                    self._deferred.append(cand)
+                    continue
+                available.append(tuple(cand))
+
+        assignments = []
+        for li in idle:
+            if not available:
+                break
+            assignments.append((li, available.pop(0)))
+        return assignments, seeds_exhausted
+
+    def _start_lane(self, li: int, pos) -> "_Lane":
+        """Initializes the host-side mirror of a fresh lane."""
+        lane = self._lanes[li]
+        lane.state = _RUNNING
+        lane.start_pos = np.array(pos)
+        lane.queue = []
+        lane.done_cells = set()
+        lane.min_pos = np.array(pos)
+        lane.max_pos = np.array(pos)
+        lane.num_iters = 0
+        lane.t_start = time.time()
+        lane.pending = []
+        self.log_info("lane %d: starting segmentation at %r (zyx)", li,
+                      tuple(pos))
+        return lane
+
     # -- main loop -------------------------------------------------------------
 
     def segment_all(self, seed_policy=seed_lib.PolicyPeaks,
@@ -334,74 +410,14 @@ class BatchCanvas:
                 # 1. Assign fresh seeds to idle lanes.
                 reset_mask = np.zeros(B, bool)
                 reset_pos = np.zeros((B, 3), np.int32)
-                idle = [li for li, lane in enumerate(self._lanes)
-                        if lane.state == _IDLE]
-                available = []
-
-                def near_available(cand):
-                    # Two seeds assigned in the same round must not target
-                    # the same region either (consecutive seeds cluster).
-                    for picked in available:
-                        if np.all(np.abs(np.asarray(cand)
-                                         - picked) <= self._pred_size):
-                            return True
-                    return False
-
-                if idle:
-                    boxes = self._active_lane_boxes()
-                    # Retry seeds deferred earlier (their region was being
-                    # flooded by another lane at the time). One vectorized
-                    # screen per round.
-                    if self._deferred:
-                        deferred = np.array(self._deferred)
-                        near = self._near_active(deferred, boxes)
-                        still = []
-                        for cand, n in zip(self._deferred, near):
-                            if len(available) >= len(idle) or n or \
-                                    near_available(cand):
-                                still.append(cand)
-                            elif self._valid_seed_pos(tuple(cand)):
-                                available.append(tuple(cand))
-                        self._deferred = still
-                    while len(available) < len(idle) and not \
-                            seeds_exhausted:
-                        try:
-                            cand = next(seed_iter)
-                        except StopIteration:
-                            seeds_exhausted = True
-                            break
-                        if not self._valid_seed_pos(cand):
-                            continue
-                        if self._near_active(np.array([cand]), boxes)[0] \
-                                or near_available(cand):
-                            # A running lane (or a seed picked this round)
-                            # is already flooding this region; retry once
-                            # it finalizes (usually rejected as already-
-                            # segmented then — matching serial ordering —
-                            # but not dropped).
-                            self._deferred.append(cand)
-                            continue
-                        available.append(tuple(cand))
-
-                for li in idle:
-                    if not available:
-                        break
-                    lane = self._lanes[li]
-                    pos = available.pop(0)
-                    lane.state = _RUNNING
-                    lane.start_pos = np.array(pos)
-                    lane.queue = []
-                    lane.done_cells = set()
-                    lane.min_pos = np.array(pos)
-                    lane.max_pos = np.array(pos)
-                    lane.num_iters = 0
-                    lane.t_start = time.time()
+                assignments, seeds_exhausted = self._assign_fresh_seeds(
+                    seed_iter, seeds_exhausted)
+                for li, pos in assignments:
+                    lane = self._start_lane(li, pos)
                     lane.pending = [
                         (self.options.move_threshold * 2, tuple(pos))]
                     reset_mask[li] = True
                     reset_pos[li] = pos
-                    self.log_info("lane %d: starting segmentation at %r "
-                                  "(zyx)", li, tuple(pos))
 
                 if reset_mask.any():
                     self._seeds_dev = self.engine.reset_lanes(
@@ -508,6 +524,15 @@ class BatchCanvas:
 
         self.log_info("Segmentation done.")
 
+    def _lane_region(self, li: int, sel_start, size_zyx):
+        """Downloads a sub-box of one lane's POM buffer."""
+        return self.engine.lane_seed_region(self._seeds_dev, li, sel_start,
+                                            size_zyx)
+
+    def _post_segment(self, sid: int, sel, mask) -> None:
+        """Hook called after a new segment id is written (HopBatchCanvas
+        mirrors the claim into the device blocked volume)."""
+
     def _finalize(self, li: int, lane: _Lane):
         """Thresholds a finished lane's POM into the shared segmentation."""
         lane.state = _IDLE
@@ -526,8 +551,8 @@ class BatchCanvas:
         sel_end = np.minimum(lane.max_pos + self._pred_size // 2 + 1,
                              self.shape)
         with timer_counter(self.counters, "finalize"):
-            region, region_start = self.engine.lane_seed_region(
-                self._seeds_dev, li, sel_start, sel_end - sel_start)
+            region, region_start = self._lane_region(
+                li, sel_start, sel_end - sel_start)
 
         def region_view(global_sel_start, global_sel_end):
             return region[tuple(
@@ -580,6 +605,7 @@ class BatchCanvas:
                 expit(region_view(sel_start, sel_end)[mask]))
         self.overlaps[sid] = np.array([overlapped_ids, counts])
         self.origins[sid] = storage.OriginInfo(pos, num_iters, t_seg)
+        self._post_segment(sid, sel, mask)
         self.counters["valid-time-ms"].IncrementBy(t_seg * MSEC_IN_SEC)
         self.log_info("lane %d: created supervoxel:%d seed(zyx):%s size:%d "
                       "iters:%d", li, sid, pos, actual, num_iters)

@@ -1,0 +1,317 @@
+"""BatchCanvas with the device-resident movement policy (HopEngine).
+
+The round-based BatchCanvas owns the movement FIFO/dedup on the host and
+pays one host<->device round trip per executed FOV move. HopBatchCanvas
+hands those to the device (hop_engine.LaneState) and only talks to the
+host every `hops` moves: per round it reseeds idle lanes, runs the jitted
+multi-hop program, ingests a small per-lane status array, and finalizes
+finished lanes. Segmentation claims are mirrored into a device `blocked`
+volume so candidate validity is evaluated on device at pop time.
+
+Semantics: identical per-object behavior to BatchCanvas (pop-time checks,
+FIFO order, weak-seed/min-size gates — lanes=1 matches the serial Canvas
+exactly). The cross-lane deviation window grows from 1 move to `hops`
+moves: another lane's claim becomes visible at the next round boundary.
+Contested voxels are still arbitrated at finalization (first to finalize
+wins), exactly as in BatchCanvas.
+
+Restrictor masks are folded into the blocked volume; shift-mask
+restrictors (windowed queries) are not supported here — use BatchCanvas.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ffn_tpu.inference import batch_canvas as batch_canvas_lib
+from ffn_tpu.inference import hop_engine as hop_engine_lib
+from ffn_tpu.inference import seed as seed_lib
+from ffn_tpu.inference import storage
+from ffn_tpu.inference.counters import TimedIter, timer_counter
+
+_IDLE = batch_canvas_lib._IDLE
+_RUNNING = batch_canvas_lib._RUNNING
+
+
+class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
+    """Batched flood fill with on-device movement (see module docstring).
+
+    Args (beyond BatchCanvas): hops — FFN moves executed per device
+    round trip.
+    """
+
+    def __init__(self, model_info, engine, image, options, hops: int = 16,
+                 **kwargs):
+        if not isinstance(engine, hop_engine_lib.HopEngine):
+            raise TypeError("HopBatchCanvas requires a HopEngine")
+        kwargs.pop("candidates_per_step", None)
+        super().__init__(model_info, engine, image, options, **kwargs)
+        if self.restrictor.shift_mask is not None:
+            raise NotImplementedError(
+                "shift-mask restrictors need windowed queries; use "
+                "BatchCanvas for those")
+        self.hops = int(hops)
+        # The per-lane device buffers replace BatchCanvas's _seeds_dev.
+        self._seeds_dev = None
+        self._state = engine.init_lane_state(self.lanes, self.shape)
+        blocked = np.zeros(self.shape, np.uint8)
+        if self.restrictor.mask is not None:
+            blocked |= self.restrictor.mask.astype(bool).astype(np.uint8)
+        if np.any(self.segmentation > 0):   # init_segmentation path
+            blocked |= (self.segmentation > 0).astype(np.uint8)
+        self._blocked_dev = engine.put_blocked(blocked)
+        # Per-lane cumulative device counters at the last ingest (device
+        # counters reset on reseed; host counters are monotonic).
+        self._skip_base = np.zeros((self.lanes, 3), np.int64)
+
+    # -- BatchCanvas hooks ----------------------------------------------------
+
+    def _lane_region(self, li, sel_start, size_zyx):
+        return self.engine.lane_seed_region(self._state.seeds, li,
+                                            sel_start, size_zyx)
+
+    def _post_segment(self, sid, sel, mask):
+        region = mask.astype(np.uint8)
+        start = [s.start for s in sel]
+        self._blocked_dev = self.engine.update_blocked_region(
+            self._blocked_dev, start, region)
+
+    # -- main loop -------------------------------------------------------------
+
+    def segment_all(self, seed_policy=seed_lib.PolicyPeaks,
+                    partial_segment_iters: int = 0):
+        del partial_segment_iters
+        self.seed_policy = seed_policy(self)
+        if self._seed_policy_state is not None:
+            self.seed_policy.set_state(self._seed_policy_state)
+            self._seed_policy_state = None
+        seed_iter = TimedIter(self.seed_policy, self.counters,
+                              "seed-policy")
+        seeds_exhausted = False
+        B = self.lanes
+
+        with timer_counter(self.counters, "segment_all"):
+            while True:
+                self._maybe_save_checkpoint()
+
+                # 1. Reseed idle lanes.
+                reset_mask = np.zeros(B, bool)
+                reset_pos = np.zeros((B, 3), np.int32)
+                assignments, seeds_exhausted = self._assign_fresh_seeds(
+                    seed_iter, seeds_exhausted)
+                for li, pos in assignments:
+                    self._start_lane(li, pos)
+                    reset_mask[li] = True
+                    reset_pos[li] = pos
+                    self._skip_base[li] = 0
+                if reset_mask.any():
+                    self._state = self.engine.reseed_lanes(
+                        self._state, reset_mask, reset_pos,
+                        self.options.init_activation)
+
+                if not any(lane.state == _RUNNING
+                           for lane in self._lanes):
+                    if seeds_exhausted:
+                        break
+                    continue
+
+                # 2. One multi-hop device round for all lanes.
+                with timer_counter(self.counters, "predict"):
+                    self._state, aux = self.engine.run_hops(
+                        self._image_dev, self._blocked_dev, self._state,
+                        self.hops, self.max_iters_per_segment)
+
+                # 3. Ingest per-lane results.
+                self.counters["fov-moves"].IncrementBy(
+                    int(aux["executed"].sum()))
+                skips = np.stack([aux["skip_threshold"],
+                                  aux["skip_invalid"],
+                                  aux["skip_restricted"]], axis=1)
+                delta = skips - self._skip_base
+                self._skip_base = skips
+                self.counters["skip_threshold"].IncrementBy(
+                    int(delta[:, 0].sum()))
+                self.counters["skip_invalid_pos"].IncrementBy(
+                    int(delta[:, 1].sum()))
+                self.counters["skip_restriced_pos"].IncrementBy(
+                    int(delta[:, 2].sum()))
+                overflowed = int(aux["overflow"].sum())
+                if overflowed:
+                    self.counters["queue-overflow-drops"].IncrementBy(
+                        overflowed)
+
+                for li, lane in enumerate(self._lanes):
+                    if lane.state != _RUNNING:
+                        continue
+                    lane.min_pos = np.minimum(lane.min_pos,
+                                              aux["minp"][li])
+                    lane.max_pos = np.maximum(lane.max_pos,
+                                              aux["maxp"][li])
+                    lane.num_iters = int(aux["iters"][li])
+                    status = int(aux["status"][li])
+                    if status == hop_engine_lib.RUNNING:
+                        continue
+                    if status == hop_engine_lib.DONE_WEAK:
+                        self.counters["seed_got_too_weak"].Increment()
+                    elif status == hop_engine_lib.DONE_CAP:
+                        self.counters["iter-cap-hit"].Increment()
+                    self._finalize(li, lane)
+
+        self.log_info("Segmentation done.")
+
+    # -- checkpointing ---------------------------------------------------------
+
+    def save_checkpoint(self, path: str):
+        self.log_info("Saving hop-canvas checkpoint to %s.", path)
+        with timer_counter(self.counters, "save_checkpoint"):
+            lanes_state = []
+            deferred = list(self._deferred)
+            status_host = None
+            for li, lane in enumerate(self._lanes):
+                if lane.state != _RUNNING or lane.num_iters <= 0:
+                    if lane.state == _RUNNING:
+                        deferred.append(tuple(int(v)
+                                              for v in lane.start_pos))
+                    lanes_state.append(None)
+                    continue
+                if status_host is None:
+                    status_host = np.asarray(self._state.status)
+                sel_start = np.maximum(
+                    lane.min_pos - self._pred_size // 2, 0)
+                sel_end = np.minimum(
+                    lane.max_pos + self._pred_size // 2 + 1, self.shape)
+                region, region_start = self._lane_region(
+                    li, sel_start, sel_end - sel_start)
+                qpos, qscore = self.engine.download_lane_queue(self._state,
+                                                               li)
+                lanes_state.append({
+                    "start_pos": np.asarray(lane.start_pos),
+                    "qpos": qpos, "qscore": qscore,
+                    "done_grid": self.engine.download_lane_done(
+                        self._state, li),
+                    "fresh": bool(np.asarray(self._state.fresh[li])),
+                    "min_pos": np.asarray(lane.min_pos),
+                    "max_pos": np.asarray(lane.max_pos),
+                    "num_iters": lane.num_iters,
+                    "region": region,
+                    "region_start": np.asarray(region_start),
+                })
+            seed_policy_state = None
+            if self.seed_policy is not None:
+                seed_policy_state = self.seed_policy.get_state()
+            aux = {}
+            if self.keep_probability_maps:
+                aux["seg_qprob"] = self.seg_prob
+            with storage.atomic_file(path) as fd:
+                np.savez_compressed(
+                    fd,
+                    hop_format=np.int64(1),
+                    segmentation=self.segmentation,
+                    origins=self.origins,
+                    overlaps=self.overlaps,
+                    deferred=np.array(deferred, np.int64).reshape(-1, 3),
+                    lanes=np.asarray(lanes_state, dtype=object),
+                    seed_policy_state=np.asarray(seed_policy_state,
+                                                 dtype=object),
+                    counters=self.counters.dumps_np(),
+                    **aux)
+        self.log_info("Hop-canvas checkpoint saved.")
+
+    def restore_checkpoint(self, path: str) -> int:
+        self.log_info("Restoring hop-canvas checkpoint: %s", path)
+        import dataclasses
+        import jax.numpy as jnp
+
+        with open(path, "rb") as f:
+            data = np.load(f, allow_pickle=True)
+            legacy = "hop_format" not in data
+            if legacy:
+                self.log_info(
+                    "Round-based BatchCanvas checkpoint detected; "
+                    "converting lane state to hop format.")
+            self.segmentation[...] = data["segmentation"]
+            if self.keep_probability_maps and "seg_qprob" in data:
+                self.seg_prob[...] = data["seg_qprob"]
+            self.origins = data["origins"].item()
+            self.overlaps = data["overlaps"].item()
+            self._deferred = [tuple(int(v) for v in row)
+                              for row in data["deferred"]]
+            self._max_id = int(np.max(self.segmentation, initial=0))
+            self._seed_policy_state = data["seed_policy_state"]
+            self.counters.loads_np(data["counters"])
+
+            blocked = np.zeros(self.shape, np.uint8)
+            if self.restrictor.mask is not None:
+                blocked |= self.restrictor.mask.astype(bool).astype(
+                    np.uint8)
+            blocked |= (self.segmentation > 0).astype(np.uint8)
+            self._blocked_dev = self.engine.put_blocked(blocked)
+
+            state = self._state
+            status = np.asarray(state.status).copy()
+            fresh = np.asarray(state.fresh).copy()
+            start = np.asarray(state.start).copy()
+            minp = np.asarray(state.minp).copy()
+            maxp = np.asarray(state.maxp).copy()
+            iters = np.asarray(state.iters).copy()
+            for li, saved in enumerate(data["lanes"]):
+                if saved is None or li >= self.lanes:
+                    continue
+                if legacy:
+                    saved = self._convert_legacy_lane(saved)
+                lane = self._lanes[li]
+                lane.state = _RUNNING
+                lane.start_pos = np.asarray(saved["start_pos"])
+                lane.min_pos = np.asarray(saved["min_pos"])
+                lane.max_pos = np.asarray(saved["max_pos"])
+                lane.num_iters = int(saved["num_iters"])
+                lane.t_start = time.time()
+                status[li] = hop_engine_lib.RUNNING
+                fresh[li] = bool(saved["fresh"])
+                start[li] = saved["start_pos"]
+                minp[li] = saved["min_pos"]
+                maxp[li] = saved["max_pos"]
+                iters[li] = saved["num_iters"]
+                state = self.engine.upload_lane_queue(
+                    state, li, saved["qpos"], saved["qscore"])
+                state = self.engine.upload_lane_done(state, li,
+                                                     saved["done_grid"])
+                state = dataclasses.replace(
+                    state, seeds=self.engine.set_lane_seed_region(
+                        state.seeds, li, saved["region_start"],
+                        saved["region"]))
+            self._state = dataclasses.replace(
+                state,
+                status=jnp.asarray(status), fresh=jnp.asarray(fresh),
+                start=jnp.asarray(start), minp=jnp.asarray(minp),
+                maxp=jnp.asarray(maxp), iters=jnp.asarray(iters))
+            self._skip_base = np.stack(
+                [np.asarray(self._state.skip_threshold),
+                 np.asarray(self._state.skip_invalid),
+                 np.asarray(self._state.skip_restricted)],
+                axis=1).astype(np.int64)
+        self.log_info("Hop-canvas checkpoint restored (%d lanes in "
+                      "flight).", sum(1 for lane in self._lanes
+                                      if lane.state == _RUNNING))
+        return 0
+
+    def _convert_legacy_lane(self, saved: dict) -> dict:
+        """Converts a round-based BatchCanvas lane checkpoint (host FIFO
+        of (score, pos) tuples + done-cell list) into hop format."""
+        entries = list(saved["pending"]) + list(saved["queue"])
+        qpos = np.array([p for _, p in entries],
+                        np.int32).reshape(-1, 3)
+        qscore = np.array([s for s, _ in entries], np.float32)
+        grid, offset = self.engine.grid_geometry(self.shape)
+        done_grid = np.zeros(grid, np.uint8)
+        cells = np.asarray(saved["done_cells"], np.int64).reshape(-1, 3)
+        if len(cells):
+            idx = cells + np.array(offset)
+            done_grid[idx[:, 0], idx[:, 1], idx[:, 2]] = 1
+        out = dict(saved.items()) if hasattr(saved, "items") else dict(
+            saved)
+        out.update(qpos=qpos, qscore=qscore, done_grid=done_grid,
+                   fresh=int(out["num_iters"]) == 0)
+        return out

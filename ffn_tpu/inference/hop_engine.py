@@ -1,0 +1,439 @@
+"""Device-resident movement policy: multi-hop flood fill.
+
+The round-based engine (engine.FloodFillEngine.select_step) still pays one
+host round trip per FOV move: the host owns the movement FIFO, the dedup
+set, and the validity checks, so the device can only execute one move per
+upload/download. On a tunneled or remote accelerator that round trip —
+not the conv stack — bounds sustained throughput.
+
+This module moves the *entire* movement policy into device memory:
+
+  - per-lane FIFO queue of scored candidate positions (fixed-capacity
+    ring buffer),
+  - per-lane visited-cell dedup grid (the delta-quantized `done_cells`
+    set of movement.FaceMaxMovementPolicy as a dense bitmap),
+  - shared `claimed` volume (segmentation > 0, updated by the host after
+    each finalization) and optional restrictor mask volume,
+  - weak-seed and iteration-cap checks.
+
+One jitted program (`run_hops`) then executes H pop->FFN->score->push
+hops per invocation; the host sees only a small per-lane status array
+per round, plus the finalization region downloads it already performed.
+Pop-time semantics (validity checks evaluated when a candidate is
+popped, not when it is pushed) match batch_canvas/the reference's
+Canvas.segment_at loop (ref inference.py:460-533, movement.py:166-222),
+so lanes=1 reproduces the serial canvas exactly.
+
+Checks evaluated on device per pop, mirroring BatchCanvas._host_valid +
+the seed-value threshold (ref inference.py:312-346):
+  bounds (image margin), claimed (segmentation > 0), restrictor mask,
+  visited-cell dedup, seed logit >= move_threshold.
+The reference's shift-mask restrictor needs a windowed query and is not
+representable as a per-voxel mask; callers with shift masks use the
+round-based path instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ffn_tpu.inference.engine import FloodFillEngine
+
+# Lane status codes (device <-> host contract).
+IDLE = 0
+RUNNING = 1
+DONE_EMPTY = 2   # movement queue exhausted -> object complete
+DONE_WEAK = 3    # origin seed fell below the move threshold
+DONE_CAP = 4     # hit max_iters_per_segment
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LaneState:
+    """Device-resident per-lane flood-fill state (a pytree of arrays)."""
+    seeds: jax.Array        # (B, Z, Y, X) f32 POM logits, NaN = unvisited
+    qpos: jax.Array         # (B, Q, 3) int32 candidate positions (zyx)
+    qscore: jax.Array       # (B, Q) f32 candidate scores
+    head: jax.Array         # (B,) int32 ring-buffer read cursor
+    tail: jax.Array         # (B,) int32 ring-buffer write cursor
+    done: jax.Array         # (B, G, G, G) uint8 visited-cell dedup grid
+    start: jax.Array        # (B, 3) int32 segment origin
+    minp: jax.Array         # (B, 3) int32 visited bbox low
+    maxp: jax.Array         # (B, 3) int32 visited bbox high
+    iters: jax.Array        # (B,) int32 executed FFN moves
+    status: jax.Array       # (B,) int32 lane status code
+    fresh: jax.Array        # (B,) bool: next pop bypasses all checks
+    overflow: jax.Array     # (B,) int32 dropped pushes (ring full)
+    skip_threshold: jax.Array   # (B,) int32 pops discarded: weak seed value
+    skip_invalid: jax.Array     # (B,) int32 pops discarded: bounds/claimed
+    skip_restricted: jax.Array  # (B,) int32 pops discarded: restrictor
+
+
+class HopEngine(FloodFillEngine):
+    """FloodFillEngine plus the device-resident movement programs."""
+
+    def __init__(self, model, params, *, pad_value: float,
+                 move_threshold: float, disco_seed_threshold: float,
+                 queue_capacity: int = 32768):
+        super().__init__(model, params, pad_value=pad_value,
+                         move_threshold=move_threshold,
+                         disco_seed_threshold=disco_seed_threshold)
+        self.queue_capacity = int(queue_capacity)
+        self._run_hops_cache = {}
+
+    # -- state setup ---------------------------------------------------------
+
+    def grid_geometry(self, shape_zyx):
+        """Dedup-grid size/offset for a volume shape: cells are
+        floor((pos - start + delta//2) / delta) + offset, always in
+        [0, G)."""
+        deltas = np.maximum(np.array(self.info.deltas[::-1]), 1)
+        span = np.ceil(np.array(shape_zyx) / deltas).astype(int)
+        grid = 2 * span + 3
+        offset = span + 1
+        return tuple(int(g) for g in grid), tuple(int(o) for o in offset)
+
+    def init_lane_state(self, lanes: int, shape_zyx) -> LaneState:
+        grid, _ = self.grid_geometry(shape_zyx)
+        B, Q = lanes, self.queue_capacity
+        z = lambda *s: jnp.zeros(s, jnp.int32)
+        return LaneState(
+            seeds=jnp.full((B,) + tuple(shape_zyx), jnp.nan, jnp.float32),
+            qpos=jnp.zeros((B, Q, 3), jnp.int32),
+            qscore=jnp.zeros((B, Q), jnp.float32),
+            head=z(B), tail=z(B),
+            done=jnp.zeros((B,) + grid, jnp.uint8),
+            start=z(B, 3), minp=z(B, 3), maxp=z(B, 3),
+            iters=z(B),
+            status=jnp.zeros((B,), jnp.int32),
+            fresh=jnp.zeros((B,), bool),
+            overflow=z(B), skip_threshold=z(B), skip_invalid=z(B),
+            skip_restricted=z(B))
+
+    def put_blocked(self, blocked: np.ndarray) -> jax.Array:
+        """Uploads the claimed/restricted uint8 volume (1 = excluded)."""
+        return jnp.asarray(np.ascontiguousarray(blocked, np.uint8))
+
+    def update_blocked_region(self, blocked: jax.Array, start_zyx,
+                              region: np.ndarray) -> jax.Array:
+        """Writes a sub-box of the blocked volume (after a finalization).
+
+        Bucketed to a small set of shapes like lane_seed_region."""
+        shape = blocked.shape
+        bucket = tuple(min(s, ((int(v) + 63) // 64) * 64)
+                       for v, s in zip(region.shape, shape))
+        start = np.minimum(np.maximum(np.asarray(start_zyx, np.int64), 0),
+                           np.array(shape) - np.array(bucket))
+        padded = np.zeros(bucket, np.uint8)
+        padded[tuple(slice(0, s) for s in region.shape)] = region
+
+        cache = getattr(self, "_blocked_fns", None)
+        if cache is None:
+            cache = self._blocked_fns = {}
+        if bucket not in cache:
+            def fn(blocked, start, patch):
+                old = jax.lax.dynamic_slice(blocked, start, patch.shape)
+                return jax.lax.dynamic_update_slice(
+                    blocked, old | patch, start)
+
+            cache[bucket] = jax.jit(fn, donate_argnums=(0,))
+        return cache[bucket](blocked, jnp.asarray(start, jnp.int32),
+                             jnp.asarray(padded))
+
+    # -- reseed --------------------------------------------------------------
+
+    def reseed_lanes(self, state: LaneState, reset_mask: np.ndarray,
+                     pos: np.ndarray, init_activation: float) -> LaneState:
+        """Resets the selected lanes to a fresh segment at pos: clears the
+        seed buffer and dedup grid, plants the initial activation, and
+        queues the origin as the (unconditionally accepted) first move."""
+        return self._reseed(state, jnp.asarray(reset_mask, bool),
+                            jnp.asarray(pos, jnp.int32),
+                            jnp.float32(init_activation))
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+    def _reseed(self, state: LaneState, reset, pos, init_activation):
+        def one_seed(seed, r, p):
+            cleared = jnp.full(seed.shape, jnp.nan, seed.dtype)
+            cleared = cleared.at[p[0], p[1], p[2]].set(init_activation)
+            return jnp.where(r, cleared, seed)
+
+        def one_done(done, r):
+            return jnp.where(r, jnp.zeros_like(done), done)
+
+        seeds = jax.vmap(one_seed)(state.seeds, reset, pos)
+        done = jax.vmap(one_done)(state.done, reset)
+        qpos = state.qpos.at[:, 0, :].set(
+            jnp.where(reset[:, None], pos, state.qpos[:, 0, :]))
+        big = jnp.float32(2.0 * abs(self._move_threshold) + 1.0)
+        qscore = state.qscore.at[:, 0].set(
+            jnp.where(reset, big, state.qscore[:, 0]))
+        sel = lambda a, b: jnp.where(reset, a, b)
+        sel3 = lambda a, b: jnp.where(reset[:, None], a, b)
+        zeros = jnp.zeros_like(state.head)
+        return LaneState(
+            seeds=seeds, qpos=qpos, qscore=qscore,
+            head=sel(zeros, state.head), tail=sel(zeros + 1, state.tail),
+            done=done, start=sel3(pos, state.start),
+            minp=sel3(pos, state.minp), maxp=sel3(pos, state.maxp),
+            iters=sel(zeros, state.iters),
+            status=sel(zeros + RUNNING, state.status),
+            fresh=jnp.where(reset, True, state.fresh),
+            overflow=sel(zeros, state.overflow),
+            skip_threshold=sel(zeros, state.skip_threshold),
+            skip_invalid=sel(zeros, state.skip_invalid),
+            skip_restricted=sel(zeros, state.skip_restricted))
+
+    # -- the hop program -----------------------------------------------------
+
+    def run_hops(self, image: jax.Array, blocked: jax.Array,
+                 state: LaneState, hops: int, max_iters: int = 0):
+        """Executes up to `hops` FFN moves per running lane on device.
+
+        Returns (state, aux) where aux is a dict of small host arrays:
+        status, iters, minp, maxp, queue_len, overflow and the three
+        skip counters.
+        """
+        key = (hops, int(max_iters))
+        if key not in self._run_hops_cache:
+            self._run_hops_cache[key] = jax.jit(
+                functools.partial(self._run_hops_impl, hops=hops,
+                                  max_iters=int(max_iters)),
+                donate_argnums=(2,))
+        state, packed = self._run_hops_cache[key](image, blocked, state)
+        packed = np.asarray(packed)
+        aux = {
+            "status": packed[:, 0].astype(np.int32),
+            "iters": packed[:, 1].astype(np.int32),
+            "minp": packed[:, 2:5].astype(np.int64),
+            "maxp": packed[:, 5:8].astype(np.int64),
+            "queue_len": packed[:, 8].astype(np.int32),
+            "overflow": packed[:, 9].astype(np.int32),
+            "skip_threshold": packed[:, 10].astype(np.int64),
+            "skip_invalid": packed[:, 11].astype(np.int64),
+            "skip_restricted": packed[:, 12].astype(np.int64),
+            "executed": packed[:, 13].astype(np.int64),
+        }
+        return state, aux
+
+    def _run_hops_impl(self, image, blocked, state: LaneState, *, hops,
+                       max_iters):
+        Q = self.queue_capacity
+        move_t = jnp.float32(self._move_threshold)
+        shape = jnp.array(state.seeds.shape[1:], jnp.int32)
+        margin = jnp.array([s // 2 for s in self._image_size], jnp.int32)
+        deltas = jnp.maximum(
+            jnp.array(self.info.deltas[::-1], jnp.int32), 1)
+        _, grid_off = self.grid_geometry(state.seeds.shape[1:])
+        grid_off = jnp.array(grid_off, jnp.int32)
+
+        def cell_of(pos, start):
+            return (pos - start + deltas // 2) // deltas + grid_off
+
+        def pop_one(seed, qpos, qscore, head, tail, done, start, fresh,
+                    running, skip_t, skip_i, skip_r):
+            """Advances head until a valid candidate; returns
+            (found, pos, head, counters...). No-op for non-running
+            lanes (their queue state must stay intact for
+            checkpointing, and dead lanes must not burn counters)."""
+
+            def checks(pos):
+                in_bounds = (jnp.all(pos - margin >= 0)
+                             & jnp.all(pos + margin < shape))
+                safe = jnp.clip(pos, 0, shape - 1)
+                is_blocked = blocked[safe[0], safe[1], safe[2]] > 0
+                c = cell_of(pos, start)
+                is_done = done[c[0], c[1], c[2]] > 0
+                sv = seed[safe[0], safe[1], safe[2]]
+                weak = ~(sv >= move_t)   # NaN counts as weak
+                return in_bounds, is_blocked, is_done, weak
+
+            def cond(carry):
+                head, found = carry[0], carry[1]
+                return running & (head < tail) & ~found
+
+            def body(carry):
+                head, found, pos, st, si, sr = carry
+                cand = qpos[head % Q]
+                in_bounds, is_blocked, is_done, weak = checks(cand)
+                ok = fresh | (in_bounds & ~is_blocked & ~is_done & ~weak)
+                # Counter attribution mirrors BatchCanvas._host_valid:
+                # dedup discards are uncounted; bounds/claimed ->
+                # skip_invalid; restrictor would be skip_restricted (its
+                # mask is folded into `blocked` here); below-threshold ->
+                # skip_threshold.
+                bad_pos = ~in_bounds | is_blocked
+                st = st + jnp.int32(~ok & ~bad_pos & ~is_done & weak)
+                si = si + jnp.int32(~ok & bad_pos)
+                return (head + jnp.int32(~ok), ok,
+                        jnp.where(ok, cand, pos), st, si, sr)
+
+            init = (head, jnp.bool_(False), start, skip_t, skip_i, skip_r)
+            head, found, pos, skip_t, skip_i, skip_r = jax.lax.while_loop(
+                cond, body, init)
+            head = head + jnp.int32(found)   # consume the chosen entry
+            return found, pos, head, skip_t, skip_i, skip_r
+
+        def hop(state: LaneState, _):
+            def lane_pre(seed, qpos, qscore, head, tail, done, start,
+                         minp, maxp, iters, status, fresh, skip_t, skip_i,
+                         skip_r):
+                running = status == RUNNING
+                capped = running & (max_iters > 0) & (iters >= max_iters)
+                status = jnp.where(capped, DONE_CAP, status)
+                running = running & ~capped
+
+                sv = seed[start[0], start[1], start[2]]
+                weak = running & ~fresh & ~(sv >= move_t)
+                status = jnp.where(weak, DONE_WEAK, status)
+                running = running & ~weak
+
+                found, pos, head, skip_t, skip_i, skip_r = pop_one(
+                    seed, qpos, qscore, head, tail, done, start, fresh,
+                    running, skip_t, skip_i, skip_r)
+                found = found & running
+                status = jnp.where(running & ~found, DONE_EMPTY, status)
+                # Clamp so the dummy slice for idle lanes is in-bounds.
+                pos = jnp.clip(pos, margin, shape - 1 - margin)
+                return pos, found, head, status, skip_t, skip_i, skip_r
+
+            pos, execute, head, status, skip_t, skip_i, skip_r = jax.vmap(
+                lane_pre)(state.seeds, state.qpos, state.qscore,
+                          state.head, state.tail, state.done, state.start,
+                          state.minp, state.maxp, state.iters,
+                          state.status, state.fresh,
+                          state.skip_threshold, state.skip_invalid,
+                          state.skip_restricted)
+
+            def lane_exec(seed, done, start, minp, maxp, iters, pos,
+                          execute):
+                seed_off = jnp.array([s // 2 for s in self._seed_size],
+                                     jnp.int32)
+                seed_start = pos - seed_off
+                image_patch = jax.lax.dynamic_slice(
+                    image, pos - margin, self._image_size)
+                seed_patch = jax.lax.dynamic_slice(seed, seed_start,
+                                                   self._seed_size)
+                logits = self._apply_model(image_patch, seed_patch)
+
+                write_start = seed_start + jnp.array(self._pred_delta,
+                                                     jnp.int32)
+                old = jax.lax.dynamic_slice(seed, write_start,
+                                            self._pred_size)
+                patch = jnp.where(execute, logits, old)
+                seed = jax.lax.dynamic_update_slice(seed, patch,
+                                                    write_start)
+
+                c = cell_of(pos, start)
+                done = done.at[c[0], c[1], c[2]].set(
+                    jnp.where(execute, jnp.uint8(1), done[c[0], c[1],
+                                                         c[2]]))
+                minp = jnp.where(execute, jnp.minimum(minp, pos), minp)
+                maxp = jnp.where(execute, jnp.maximum(maxp, pos), maxp)
+                iters = iters + jnp.int32(execute)
+
+                # Face-max scoring, sorted desc by (score, rel) with
+                # exact Python-tuple tie-breaking and adjacent-duplicate
+                # dedup (batch_canvas.py's push loop semantics).
+                scores, offsets = self._face_scores(patch)
+                keep = execute & (scores >= move_t)
+                order = jnp.lexsort((-offsets[:, 2], -offsets[:, 1],
+                                     -offsets[:, 0], -scores))
+                scores, offsets, keep = (scores[order], offsets[order],
+                                         keep[order])
+                dup = jnp.concatenate([
+                    jnp.zeros((1,), bool),
+                    (scores[1:] == scores[:-1])
+                    & jnp.all(offsets[1:] == offsets[:-1], axis=1)])
+                keep = keep & ~dup
+                return seed, done, minp, maxp, iters, scores, offsets, keep
+
+            (seeds, done, minp, maxp, iters, scores6, offsets6, keep6) = \
+                jax.vmap(lane_exec)(
+                    state.seeds, state.done, state.start, state.minp,
+                    state.maxp, state.iters, pos, execute)
+            qpos, qscore = state.qpos, state.qscore
+            tail, overflow = state.tail, state.overflow
+
+            # Push loop (unrolled over the 6 faces), vectorized over lanes.
+            for k in range(scores6.shape[1]):
+                full = tail - head >= Q
+                do = keep6[:, k] & ~full
+                slot = tail % Q
+                new_pos = pos + offsets6[:, k, :]
+                qpos = qpos.at[jnp.arange(qpos.shape[0]), slot, :].set(
+                    jnp.where(do[:, None], new_pos,
+                              qpos[jnp.arange(qpos.shape[0]), slot, :]))
+                qscore = qscore.at[jnp.arange(qscore.shape[0]), slot].set(
+                    jnp.where(do, scores6[:, k],
+                              qscore[jnp.arange(qscore.shape[0]), slot]))
+                tail = tail + do.astype(jnp.int32)
+                overflow = overflow + (keep6[:, k] & full).astype(jnp.int32)
+
+            new_state = LaneState(
+                seeds=seeds, qpos=qpos, qscore=qscore, head=head,
+                tail=tail, done=done, start=state.start, minp=minp,
+                maxp=maxp, iters=iters, status=status,
+                fresh=state.fresh & ~execute,
+                overflow=overflow, skip_threshold=skip_t,
+                skip_invalid=skip_i, skip_restricted=skip_r)
+            return new_state, execute.astype(jnp.int32)
+
+        state, executed = jax.lax.scan(hop, state, None, length=hops)
+        packed = jnp.concatenate([
+            state.status[:, None].astype(jnp.float32),
+            state.iters[:, None].astype(jnp.float32),
+            state.minp.astype(jnp.float32),
+            state.maxp.astype(jnp.float32),
+            (state.tail - state.head)[:, None].astype(jnp.float32),
+            state.overflow[:, None].astype(jnp.float32),
+            state.skip_threshold[:, None].astype(jnp.float32),
+            state.skip_invalid[:, None].astype(jnp.float32),
+            state.skip_restricted[:, None].astype(jnp.float32),
+            executed.sum(axis=0)[:, None].astype(jnp.float32),
+        ], axis=1)
+        return state, packed
+
+    # -- checkpoint support --------------------------------------------------
+
+    def download_lane_queue(self, state: LaneState, lane: int):
+        """Returns (positions (N, 3), scores (N,)) of the lane's pending
+        FIFO entries, oldest first (for checkpointing)."""
+        head = int(np.asarray(state.head[lane]))
+        tail = int(np.asarray(state.tail[lane]))
+        qpos = np.asarray(state.qpos[lane])
+        qscore = np.asarray(state.qscore[lane])
+        idx = np.arange(head, tail) % self.queue_capacity
+        return qpos[idx], qscore[idx]
+
+    def upload_lane_queue(self, state: LaneState, lane: int,
+                          positions: np.ndarray, scores: np.ndarray,
+                          ) -> LaneState:
+        """Replaces one lane's queue contents (checkpoint restore)."""
+        n = len(positions)
+        if n > self.queue_capacity:
+            raise ValueError(f"queue overflow on restore: {n}")
+        qpos = np.asarray(state.qpos[lane]).copy()
+        qscore = np.asarray(state.qscore[lane]).copy()
+        qpos[:n] = positions
+        qscore[:n] = scores
+        return dataclasses.replace(
+            state,
+            qpos=state.qpos.at[lane].set(jnp.asarray(qpos)),
+            qscore=state.qscore.at[lane].set(jnp.asarray(qscore)),
+            head=state.head.at[lane].set(0),
+            tail=state.tail.at[lane].set(n))
+
+    def download_lane_done(self, state: LaneState, lane: int) -> np.ndarray:
+        return np.asarray(state.done[lane])
+
+    def upload_lane_done(self, state: LaneState, lane: int,
+                         done: np.ndarray) -> LaneState:
+        return dataclasses.replace(
+            state, done=state.done.at[lane].set(jnp.asarray(done)))

@@ -113,7 +113,11 @@ class Runner:
 
         opts = request.inference_options
         from scipy.special import logit as _logit
-        self.engine = engine_lib.FloodFillEngine(
+        from ffn_tpu.inference import hop_engine
+        # HopEngine is a strict superset of FloodFillEngine: it adds the
+        # device-resident movement programs used by HopBatchCanvas while
+        # keeping the round-based programs for Canvas/BatchCanvas.
+        self.engine = hop_engine.HopEngine(
             self.model, self.model_params,
             pad_value=float(_logit(opts.pad_value)),
             move_threshold=float(_logit(opts.move_threshold)),
@@ -243,19 +247,38 @@ class Runner:
             lanes = 1
         if lanes > 1:
             # Batched multi-seed canvas: the reference's
-            # concurrent_requests threads become device lanes.
-            from ffn_tpu.inference import batch_canvas
-            canvas = batch_canvas.BatchCanvas(
-                self._model_info, self.engine, image,
-                self.request.inference_options,
+            # concurrent_requests threads become device lanes. The
+            # device-resident movement path (HopBatchCanvas) is the
+            # default; shift-mask restrictors need windowed host checks
+            # and use the round-based BatchCanvas instead. hops=0 (via
+            # canvas_defaults or FFN_TPU_HOPS) also forces round-based.
+            merged = {**self.canvas_defaults, **canvas_kwargs}
+            hops = int(merged.pop("hops",
+                                  os.environ.get("FFN_TPU_HOPS", "16")))
+            use_hops = (hops > 0
+                        and (restrictor is None
+                             or restrictor.shift_mask is None))
+            common = dict(
                 lanes=lanes,
                 counters=subvol_counters,
                 restrictor=restrictor,
                 corner_zyx=dst_corner,
                 checkpoint_path=storage.checkpoint_path(
                     self.request.segmentation_output_dir, corner),
-                checkpoint_interval_sec=self.request.checkpoint_interval,
-                **{**self.canvas_defaults, **canvas_kwargs})
+                checkpoint_interval_sec=self.request.checkpoint_interval)
+            if use_hops:
+                from ffn_tpu.inference import hop_canvas
+                canvas = hop_canvas.HopBatchCanvas(
+                    self._model_info, self.engine, image,
+                    self.request.inference_options,
+                    hops=hops, **common, **merged)
+            else:
+                from ffn_tpu.inference import batch_canvas
+                canvas = batch_canvas.BatchCanvas(
+                    self._model_info, self.engine, image,
+                    self.request.inference_options,
+                    **common, **merged)
+            del merged
         else:
             canvas = canvas_lib.Canvas(
                 self._model_info, self.engine, image,

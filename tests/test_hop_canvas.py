@@ -1,0 +1,97 @@
+"""HopBatchCanvas (device-resident movement) vs serial/batched canvases."""
+
+import numpy as np
+from scipy.special import logit
+
+from ffn_tpu.inference import batch_canvas as batch_canvas_lib
+from ffn_tpu.inference import canvas as canvas_lib
+from ffn_tpu.inference import hop_canvas as hop_canvas_lib
+from ffn_tpu.inference import hop_engine as hop_engine_lib
+from ffn_tpu.models import oracle
+
+from test_batch_canvas import segmentations_equivalent
+from test_canvas_e2e import (DELTAS, FOV, GridSeeds, make_image,
+                             make_options)
+
+
+def make_hop_engine(opts, queue_capacity=4096):
+    model = oracle.ThresholdOracleModel(fov_size=[FOV] * 3,
+                                        deltas=list(DELTAS))
+    eng = hop_engine_lib.HopEngine(
+        model, {}, pad_value=float(logit(opts.pad_value)),
+        move_threshold=float(logit(opts.move_threshold)),
+        disco_seed_threshold=opts.disco_seed_threshold,
+        queue_capacity=queue_capacity)
+    return model, eng
+
+
+def run_hop(lanes, hops, **kwargs):
+    image = make_image()
+    opts = make_options()
+    model, eng = make_hop_engine(opts)
+    hc = hop_canvas_lib.HopBatchCanvas(model.info, eng, image, opts,
+                                       lanes=lanes, hops=hops, **kwargs)
+    hc.segment_all(seed_policy=GridSeeds)
+    return hc
+
+
+def run_serial():
+    image = make_image()
+    opts = make_options()
+    model = oracle.ThresholdOracleModel(fov_size=[FOV] * 3,
+                                        deltas=list(DELTAS))
+    from ffn_tpu.inference import engine as engine_lib
+    eng = engine_lib.FloodFillEngine(
+        model, {}, pad_value=float(logit(opts.pad_value)),
+        move_threshold=float(logit(opts.move_threshold)),
+        disco_seed_threshold=opts.disco_seed_threshold)
+    cv = canvas_lib.Canvas(model.info, eng, image, opts)
+    cv.segment_all(seed_policy=GridSeeds)
+    return cv
+
+
+def test_single_lane_hops_match_serial_canvas():
+    hc = run_hop(lanes=1, hops=8)
+    cv = run_serial()
+    segmentations_equivalent(hc.segmentation, cv.segmentation)
+    hc_iters = sorted(o.iters for o in hc.origins.values())
+    cv_iters = sorted(o.iters for o in cv.origins.values())
+    assert hc_iters == cv_iters
+
+
+def test_single_lane_hop_count_invariance():
+    # The hop count is a scheduling knob, not a semantic one.
+    a = run_hop(lanes=1, hops=3)
+    b = run_hop(lanes=1, hops=17)
+    np.testing.assert_array_equal(a.segmentation, b.segmentation)
+
+
+def test_multi_lane_hops_object_equivalence():
+    hc = run_hop(lanes=4, hops=8)
+    cv = run_serial()
+    a = np.maximum(hc.segmentation, 0)
+    b = np.maximum(cv.segmentation, 0)
+    assert len(np.unique(a[a > 0])) == len(np.unique(b[b > 0]))
+    inter = ((a > 0) & (b > 0)).sum()
+    union = ((a > 0) | (b > 0)).sum()
+    assert inter / union > 0.95
+
+
+def test_hop_matches_round_based_batch_canvas():
+    # lanes=1: both paths must make identical FIFO decisions.
+    hc = run_hop(lanes=1, hops=5)
+    image = make_image()
+    opts = make_options()
+    from test_batch_canvas import make_engine
+    model, eng = make_engine(opts)
+    bc = batch_canvas_lib.BatchCanvas(model.info, eng, image, opts,
+                                      lanes=1, candidates_per_step=4)
+    bc.segment_all(seed_policy=GridSeeds)
+    np.testing.assert_array_equal(hc.segmentation, bc.segmentation)
+
+
+def test_iter_cap():
+    hc = run_hop(lanes=2, hops=4, max_iters_per_segment=3)
+    assert hc.counters["iter-cap-hit"].value > 0
+    for info in hc.origins.values():
+        assert info.iters <= 3

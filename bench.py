@@ -17,7 +17,13 @@ that volume this is ~240 FOV/s. vs_baseline = ours / 240.
 
 Env knobs: BENCH_BATCH (lanes, default 16), BENCH_STEPS (default 30),
 BENCH_CANVAS (default 250), BENCH_PRECISION (default|highest),
-BENCH_DTYPE (f32|bf16).
+BENCH_DTYPE (f32|bf16|int8), BENCH_MODE (hops|select).
+
+BENCH_MODE=hops (default) measures the device-resident movement path
+(hop_engine.run_hops: pop-until-valid from the on-device FIFO -> conv
+stack -> disco mask -> scatter -> face scoring -> push, BENCH_HOPS moves
+per host round trip). BENCH_MODE=select measures the round-based
+candidate-select path (one move per round trip).
 """
 
 import json
@@ -38,11 +44,16 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from ffn_tpu.inference import engine as engine_lib
+    from ffn_tpu.inference import hop_engine as hop_engine_lib
     from ffn_tpu.models import convstack_3d
 
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    # 120 lanes: the largest batch whose seed buffers (2x while-loop
+    # copies at 250^3 f32) fit 16 GB HBM alongside the program workspace.
+    batch = int(os.environ.get("BENCH_BATCH", "120"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     canvas = int(os.environ.get("BENCH_CANVAS", "250"))
+    mode = os.environ.get("BENCH_MODE", "hops")
+    hops = int(os.environ.get("BENCH_HOPS", "16"))
     precision = (jax.lax.Precision.HIGHEST
                  if os.environ.get("BENCH_PRECISION") == "highest"
                  else None)
@@ -59,40 +70,74 @@ def main():
         qmodel = quantized.QuantizedConvStack3DModel(model)
         params = qmodel.prepare(params)
         model = qmodel
-    eng = engine_lib.FloodFillEngine(
-        model, params, pad_value=-2.944, move_threshold=2.197,
-        disco_seed_threshold=0.0)
-
     rng = np.random.RandomState(0)
     image = rng.randn(canvas, canvas, canvas).astype(np.float32)
-    image_dev = eng.put_image(image)
-    seeds = eng.new_seed_batch(batch, image.shape)
-    positions = rng.randint(17, canvas - 17, size=(batch, 3)).astype(
-        np.int32)
-    seeds = eng.reset_lanes(seeds, np.ones(batch, bool), positions, 2.944)
+    lo, hi = canvas // 4, canvas - canvas // 4
+    positions = rng.randint(lo, hi, size=(batch, 3)).astype(np.int32)
 
-    K = 4
-    start_pos = positions.copy()
-    active = np.ones(batch, bool)
-    ignore = np.ones(batch, bool)
+    if mode == "hops":
+        # A move threshold below any logit keeps every lane executing a
+        # real pop->conv->push cycle each hop regardless of model output,
+        # so this measures steady-state throughput of the production
+        # device program.
+        eng = hop_engine_lib.HopEngine(
+            model, params, pad_value=-2.944, move_threshold=-1e6,
+            disco_seed_threshold=-1.0)
+        image_dev = eng.put_image(image)
+        blocked = eng.put_blocked(np.zeros(image.shape, np.uint8))
+        state = eng.init_lane_state(batch, image.shape)
+        state = eng.reseed_lanes(state, np.ones(batch, bool), positions,
+                                 2.944)
 
-    def make_cands():
-        base = rng.randint(17, canvas - 17, size=(batch, 1, 3))
-        return np.broadcast_to(base, (batch, K, 3)).astype(np.int32)
+        def reseed_dead(state, aux):
+            dead = aux["status"] != hop_engine_lib.RUNNING
+            if dead.any():
+                fresh = rng.randint(lo, hi, size=(batch, 3)).astype(
+                    np.int32)
+                state = eng.reseed_lanes(state, dead, fresh, 2.944)
+            return state
 
-    # Warm up / compile.
-    seeds, aux = eng.select_step(image_dev, seeds, make_cands(), start_pos,
-                                 active, ignore)
-    jax.block_until_ready(seeds)
+        state, aux = eng.run_hops(image_dev, blocked, state, hops)
+        state = reseed_dead(state, aux)
 
-    t0 = time.time()
-    for _ in range(steps):
+        t0 = time.time()
+        executed = 0
+        for _ in range(steps):
+            state, aux = eng.run_hops(image_dev, blocked, state, hops)
+            executed += int(aux["executed"].sum())
+            state = reseed_dead(state, aux)
+        elapsed = time.time() - t0
+        fov_per_sec = executed / elapsed
+    else:
+        eng = engine_lib.FloodFillEngine(
+            model, params, pad_value=-2.944, move_threshold=2.197,
+            disco_seed_threshold=0.0)
+        image_dev = eng.put_image(image)
+        seeds = eng.new_seed_batch(batch, image.shape)
+        seeds = eng.reset_lanes(seeds, np.ones(batch, bool), positions,
+                                2.944)
+
+        K = 4
+        start_pos = positions.copy()
+        active = np.ones(batch, bool)
+        ignore = np.ones(batch, bool)
+
+        def make_cands():
+            base = rng.randint(17, canvas - 17, size=(batch, 1, 3))
+            return np.broadcast_to(base, (batch, K, 3)).astype(np.int32)
+
+        # Warm up / compile.
         seeds, aux = eng.select_step(image_dev, seeds, make_cands(),
                                      start_pos, active, ignore)
-    jax.block_until_ready(seeds)
-    elapsed = time.time() - t0
+        jax.block_until_ready(seeds)
 
-    fov_per_sec = steps * batch / elapsed
+        t0 = time.time()
+        for _ in range(steps):
+            seeds, aux = eng.select_step(image_dev, seeds, make_cands(),
+                                         start_pos, active, ignore)
+        jax.block_until_ready(seeds)
+        elapsed = time.time() - t0
+        fov_per_sec = steps * batch / elapsed
     baseline = 240.0
     print(json.dumps({
         "metric": "fov_steps_per_sec_per_chip",

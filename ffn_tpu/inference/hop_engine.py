@@ -280,7 +280,8 @@ class HopEngine(FloodFillEngine):
             head = head + jnp.int32(found)   # consume the chosen entry
             return found, pos, head, skip_t, skip_i, skip_r
 
-        def hop(state: LaneState, _):
+        def hop(carry):
+            state, executed_total = carry
             def lane_pre(seed, qpos, qscore, head, tail, done, start,
                          minp, maxp, iters, status, fresh, skip_t, skip_i,
                          skip_r):
@@ -383,9 +384,24 @@ class HopEngine(FloodFillEngine):
                 fresh=state.fresh & ~execute,
                 overflow=overflow, skip_threshold=skip_t,
                 skip_invalid=skip_i, skip_restricted=skip_r)
-            return new_state, execute.astype(jnp.int32)
+            return new_state, executed_total + execute.astype(jnp.int32)
 
-        state, executed = jax.lax.scan(hop, state, None, length=hops)
+        # A while-loop (not lax.scan): XLA reliably updates the multi-GB
+        # seed buffers in place inside while bodies, whereas a scan carry
+        # double-buffers them — at 128 lanes x 250^3 x f32 that is the
+        # difference between fitting in HBM and OOM.
+        def cond(carry_i):
+            _, i = carry_i
+            return i < hops
+
+        def body(carry_i):
+            carry, i = carry_i
+            return hop(carry), i + 1
+
+        (state, executed), _ = jax.lax.while_loop(
+            cond, body,
+            ((state, jnp.zeros((state.head.shape[0],), jnp.int32)),
+             jnp.int32(0)))
         packed = jnp.concatenate([
             state.status[:, None].astype(jnp.float32),
             state.iters[:, None].astype(jnp.float32),
@@ -396,7 +412,7 @@ class HopEngine(FloodFillEngine):
             state.skip_threshold[:, None].astype(jnp.float32),
             state.skip_invalid[:, None].astype(jnp.float32),
             state.skip_restricted[:, None].astype(jnp.float32),
-            executed.sum(axis=0)[:, None].astype(jnp.float32),
+            executed[:, None].astype(jnp.float32),
         ], axis=1)
         return state, packed
 

@@ -479,7 +479,7 @@ class BatchCanvas:
                         continue
                     if not aux["start_ok"][li]:
                         self.counters["seed_got_too_weak"].Increment()
-                        self._finalize(li, lane)
+                        self._finalize(li, lane, weak=True)
                         continue
                     chosen = int(aux["chosen"][li])
                     n_pending = min(len(lane.pending), K)
@@ -533,8 +533,13 @@ class BatchCanvas:
         """Hook called after a new segment id is written (HopBatchCanvas
         mirrors the claim into the device blocked volume)."""
 
-    def _finalize(self, li: int, lane: _Lane):
-        """Thresholds a finished lane's POM into the shared segmentation."""
+    def _finalize(self, li: int, lane: _Lane, weak: bool = False):
+        """Thresholds a finished lane's POM into the shared segmentation.
+
+        weak=True marks a lane the device already rejected (origin seed
+        below the move threshold) — the rejection is recorded without
+        downloading the POM region, which otherwise dominates wall time
+        on runs with many failed seeds."""
         lane.state = _IDLE
         t_seg = time.time() - lane.t_start
         num_iters = lane.num_iters
@@ -544,12 +549,31 @@ class BatchCanvas:
                 t_seg * MSEC_IN_SEC)
             return
 
+        if weak:
+            if self.segmentation[pos] == 0:
+                self.segmentation[pos] = -1
+            self.log_info("lane %d: failed, weak seed", li)
+            self.counters["invalid-weak-time-ms"].IncrementBy(
+                t_seg * MSEC_IN_SEC)
+            return
+
         # Download only the visited bounding box (bucketed shapes) — a full
         # lane is ~64 MB over the tunnel, the bbox of a typical object is a
         # small fraction of that.
         sel_start = np.maximum(lane.min_pos - self._pred_size // 2, 0)
         sel_end = np.minimum(lane.max_pos + self._pred_size // 2 + 1,
                              self.shape)
+        # An object whose entire visited bbox is below min_segment_size
+        # can't survive the size gate — skip the download.
+        if int(np.prod(sel_end - sel_start)) < \
+                self.options.min_segment_size:
+            if self.segmentation[pos] == 0:
+                self.segmentation[pos] = -1
+            self.log_info("lane %d: failed, too small (bbox)", li)
+            self.counters["invalid-small-time-ms"].IncrementBy(
+                t_seg * MSEC_IN_SEC)
+            return
+
         with timer_counter(self.counters, "finalize"):
             region, region_start = self._lane_region(
                 li, sel_start, sel_end - sel_start)

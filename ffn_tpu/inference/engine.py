@@ -43,13 +43,19 @@ class FloodFillEngine:
     """
 
     def __init__(self, model, params, *, pad_value: float,
-                 move_threshold: float, disco_seed_threshold: float):
+                 move_threshold: float, disco_seed_threshold: float,
+                 seed_dtype=jnp.float32):
         self.model = model
         self.params = params
         self.info = model.info
         self._pad_value = float(pad_value)
         self._move_threshold = float(move_threshold)
         self._disco_threshold = float(disco_seed_threshold)
+        # POM (seed) buffer storage dtype. bfloat16 halves HBM per lane —
+        # at 250^3 that is the difference between 120 and 240 concurrent
+        # lanes — at the cost of rounding stored logits to bf16 (may flip
+        # near-threshold move decisions vs the f32 reference semantics).
+        self.seed_dtype = jnp.dtype(seed_dtype)
 
         # ZYX geometry.
         self._seed_size = tuple(int(v)
@@ -118,7 +124,8 @@ class FloodFillEngine:
         logits = self._apply_model(image_patch, seed_patch)
 
         write_start = seed_start + jnp.array(self._pred_delta, jnp.int32)
-        new_seed = jax.lax.dynamic_update_slice(seed, logits, write_start)
+        new_seed = jax.lax.dynamic_update_slice(
+            seed, logits.astype(seed.dtype), write_start)
         return new_seed, logits
 
     def _step_batch_impl(self, image, seeds, pos, active):
@@ -153,7 +160,7 @@ class FloodFillEngine:
             write_start = seed_start + jnp.array(self._pred_delta,
                                                  jnp.int32)
             old = jax.lax.dynamic_slice(seed, write_start, self._pred_size)
-            patch = jnp.where(act, logits, old)
+            patch = jnp.where(act, logits.astype(seed.dtype), old)
             new_seed = jax.lax.dynamic_update_slice(seed, patch,
                                                     write_start)
             return new_seed, logits
@@ -254,7 +261,7 @@ class FloodFillEngine:
             write_start = seed_start + jnp.array(self._pred_delta,
                                                  jnp.int32)
             old = jax.lax.dynamic_slice(seed, write_start, self._pred_size)
-            patch = jnp.where(executed, logits, old)
+            patch = jnp.where(executed, logits.astype(seed.dtype), old)
             new_seed = jax.lax.dynamic_update_slice(seed, patch,
                                                     write_start)
             scores, offsets = self._face_scores(patch)
@@ -302,10 +309,10 @@ class FloodFillEngine:
     # -- host API -------------------------------------------------------------
 
     def new_seed_buffer(self, shape) -> jax.Array:
-        return jnp.full(shape, jnp.nan, jnp.float32)
+        return jnp.full(shape, jnp.nan, self.seed_dtype)
 
     def new_seed_batch(self, batch: int, shape) -> jax.Array:
-        return jnp.full((batch,) + tuple(shape), jnp.nan, jnp.float32)
+        return jnp.full((batch,) + tuple(shape), jnp.nan, self.seed_dtype)
 
     def put_image(self, image: np.ndarray) -> jax.Array:
         return jnp.asarray(np.ascontiguousarray(image, dtype=np.float32))
@@ -412,7 +419,9 @@ class FloodFillEngine:
             def fn(seeds, lane, start, _bucket=bucket):
                 lane_buf = jax.lax.dynamic_index_in_dim(
                     seeds, lane, axis=0, keepdims=False)
-                return jax.lax.dynamic_slice(lane_buf, start, _bucket)
+                # Host side always sees f32 (numpy has no bfloat16).
+                return jax.lax.dynamic_slice(lane_buf, start,
+                                             _bucket).astype(jnp.float32)
 
             cache[bucket] = jax.jit(fn)
         region = cache[bucket](seeds, jnp.int32(lane),
@@ -439,8 +448,8 @@ class FloodFillEngine:
             def fn(seeds, lane, start, padded):
                 lane_buf = jax.lax.dynamic_index_in_dim(
                     seeds, lane, axis=0, keepdims=False)
-                lane_buf = jax.lax.dynamic_update_slice(lane_buf, padded,
-                                                        start)
+                lane_buf = jax.lax.dynamic_update_slice(
+                    lane_buf, padded.astype(seeds.dtype), start)
                 return jax.lax.dynamic_update_index_in_dim(
                     seeds, lane_buf, lane, axis=0)
 

@@ -117,11 +117,16 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
                         break
                     continue
 
-                # 2. One multi-hop device round for all lanes.
+                # 2. One multi-hop device round for all lanes. Fresh lanes
+                # have unknown lifetimes (a weak seed dies on hop 1 and
+                # then idles for the rest of the round), so rounds that
+                # just reseeded a big fraction of lanes run short.
+                many_fresh = len(assignments) > max(1, B // 4)
+                hops = max(1, self.hops // 4) if many_fresh else self.hops
                 with timer_counter(self.counters, "predict"):
                     self._state, aux = self.engine.run_hops(
                         self._image_dev, self._blocked_dev, self._state,
-                        self.hops, self.max_iters_per_segment)
+                        hops, self.max_iters_per_segment)
 
                 # 3. Ingest per-lane results.
                 self.counters["fov-moves"].IncrementBy(
@@ -157,7 +162,8 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
                         self.counters["seed_got_too_weak"].Increment()
                     elif status == hop_engine_lib.DONE_CAP:
                         self.counters["iter-cap-hit"].Increment()
-                    self._finalize(li, lane)
+                    self._finalize(li, lane,
+                                   weak=status == hop_engine_lib.DONE_WEAK)
 
         self.log_info("Segmentation done.")
 

@@ -80,10 +80,11 @@ class HopEngine(FloodFillEngine):
 
     def __init__(self, model, params, *, pad_value: float,
                  move_threshold: float, disco_seed_threshold: float,
-                 queue_capacity: int = 32768):
+                 queue_capacity: int = 32768, **kwargs):
         super().__init__(model, params, pad_value=pad_value,
                          move_threshold=move_threshold,
-                         disco_seed_threshold=disco_seed_threshold)
+                         disco_seed_threshold=disco_seed_threshold,
+                         **kwargs)
         self.queue_capacity = int(queue_capacity)
         self._run_hops_cache = {}
 
@@ -104,7 +105,8 @@ class HopEngine(FloodFillEngine):
         B, Q = lanes, self.queue_capacity
         z = lambda *s: jnp.zeros(s, jnp.int32)
         return LaneState(
-            seeds=jnp.full((B,) + tuple(shape_zyx), jnp.nan, jnp.float32),
+            seeds=jnp.full((B,) + tuple(shape_zyx), jnp.nan,
+                           self.seed_dtype),
             qpos=jnp.zeros((B, Q, 3), jnp.int32),
             qscore=jnp.zeros((B, Q), jnp.float32),
             head=z(B), tail=z(B),
@@ -327,7 +329,7 @@ class HopEngine(FloodFillEngine):
                                                      jnp.int32)
                 old = jax.lax.dynamic_slice(seed, write_start,
                                             self._pred_size)
-                patch = jnp.where(execute, logits, old)
+                patch = jnp.where(execute, logits.astype(seed.dtype), old)
                 seed = jax.lax.dynamic_update_slice(seed, patch,
                                                     write_start)
 
@@ -343,6 +345,7 @@ class HopEngine(FloodFillEngine):
                 # exact Python-tuple tie-breaking and adjacent-duplicate
                 # dedup (batch_canvas.py's push loop semantics).
                 scores, offsets = self._face_scores(patch)
+                scores = scores.astype(jnp.float32)
                 keep = execute & (scores >= move_t)
                 order = jnp.lexsort((-offsets[:, 2], -offsets[:, 1],
                                      -offsets[:, 0], -scores))

@@ -54,6 +54,10 @@ def main():
     canvas = int(os.environ.get("BENCH_CANVAS", "250"))
     mode = os.environ.get("BENCH_MODE", "hops")
     hops = int(os.environ.get("BENCH_HOPS", "16"))
+    # bf16 POM storage halves per-lane HBM -> ~2x the feasible lane count.
+    seed_dtype = (jnp.bfloat16
+                  if os.environ.get("BENCH_SEED_DTYPE") == "bf16"
+                  else jnp.float32)
     precision = (jax.lax.Precision.HIGHEST
                  if os.environ.get("BENCH_PRECISION") == "highest"
                  else None)
@@ -82,7 +86,7 @@ def main():
         # device program.
         eng = hop_engine_lib.HopEngine(
             model, params, pad_value=-2.944, move_threshold=-1e6,
-            disco_seed_threshold=-1.0)
+            disco_seed_threshold=-1.0, seed_dtype=seed_dtype)
         image_dev = eng.put_image(image)
         blocked = eng.put_blocked(np.zeros(image.shape, np.uint8))
         state = eng.init_lane_state(batch, image.shape)

@@ -95,3 +95,27 @@ def test_iter_cap():
     assert hc.counters["iter-cap-hit"].value > 0
     for info in hc.origins.values():
         assert info.iters <= 3
+
+
+def test_bf16_seed_storage_equivalent_objects():
+    """bf16 POM storage must produce the same objects on the oracle
+    model (its logit levels are far from the thresholds, so bf16
+    rounding cannot flip decisions)."""
+    import jax.numpy as jnp
+
+    image = make_image()
+    opts = make_options()
+    model, _ = make_hop_engine(opts)
+    from ffn_tpu.inference import hop_engine as hel
+    eng = hel.HopEngine(
+        model, {}, pad_value=float(logit(opts.pad_value)),
+        move_threshold=float(logit(opts.move_threshold)),
+        disco_seed_threshold=opts.disco_seed_threshold,
+        queue_capacity=4096, seed_dtype=jnp.bfloat16)
+    from ffn_tpu.inference import hop_canvas as hcl
+    hc = hcl.HopBatchCanvas(model.info, eng, image, opts, lanes=2, hops=8)
+    hc.segment_all(seed_policy=GridSeeds)
+    ref = run_hop(lanes=2, hops=8)
+    np.testing.assert_array_equal(
+        np.maximum(hc.segmentation, 0) > 0,
+        np.maximum(ref.segmentation, 0) > 0)

@@ -124,6 +124,27 @@ class BatchCanvas:
     def log_info(self, s, *args):
         logging.info(s, *args)
 
+    def init_segmentation_from_volume(self, volume, corner, end,
+                                      align_and_crop=None):
+        """Seeds the shared segmentation from an existing volume (same
+        semantics as Canvas.init_segmentation_from_volume)."""
+        from ffn_tpu.inference import segmentation as segmentation_lib
+        init_seg = volume[:, corner[0]:end[0], corner[1]:end[1],
+                          corner[2]:end[2]]
+        init_seg = init_seg[0, ...]
+        init_seg, mapping = segmentation_lib.make_contiguous(init_seg)
+        self.global_to_local_ids = dict(mapping)
+        self.local_to_global_ids = {
+            v: k for k, v in self.global_to_local_ids.items()}
+        if align_and_crop is not None:
+            init_seg = align_and_crop(init_seg)
+        self.segmentation[...] = init_seg
+        if self.keep_probability_maps:
+            self.seg_prob[self.segmentation > 0] = \
+                storage.quantize_probability(np.array([1.0]))
+        self._max_id = int(np.max(self.segmentation))
+        self.log_info("Max restored ID is: %d.", self._max_id)
+
     def get_next_segment_id(self) -> int:
         self._max_id += 1
         while self._max_id in self.origins:

@@ -68,6 +68,22 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
 
     # -- BatchCanvas hooks ----------------------------------------------------
 
+    def _refresh_blocked(self):
+        """Rebuilds the device blocked volume from restrictor + host
+        segmentation (needed whenever segmentation changes outside
+        _post_segment, e.g. init_segmentation loads)."""
+        blocked = np.zeros(self.shape, np.uint8)
+        if self.restrictor.mask is not None:
+            blocked |= self.restrictor.mask.astype(bool).astype(np.uint8)
+        blocked |= (self.segmentation > 0).astype(np.uint8)
+        self._blocked_dev = self.engine.put_blocked(blocked)
+
+    def init_segmentation_from_volume(self, volume, corner, end,
+                                      align_and_crop=None):
+        super().init_segmentation_from_volume(volume, corner, end,
+                                              align_and_crop)
+        self._refresh_blocked()
+
     def _lane_region(self, li, sel_start, size_zyx):
         return self.engine.lane_seed_region(self._state.seeds, li,
                                             sel_start, size_zyx)
@@ -248,12 +264,7 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
             self._seed_policy_state = data["seed_policy_state"]
             self.counters.loads_np(data["counters"])
 
-            blocked = np.zeros(self.shape, np.uint8)
-            if self.restrictor.mask is not None:
-                blocked |= self.restrictor.mask.astype(bool).astype(
-                    np.uint8)
-            blocked |= (self.segmentation > 0).astype(np.uint8)
-            self._blocked_dev = self.engine.put_blocked(blocked)
+            self._refresh_blocked()
 
             state = self._state
             status = np.asarray(state.status).copy()

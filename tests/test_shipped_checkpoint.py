@@ -1,0 +1,62 @@
+"""Shipped phantom checkpoint: structure always, quality under marker.
+
+The fast test validates every shipped checkpoint loads into the flagship
+model and produces finite logits. The @quality test reruns the full
+segmentation quality gate against the held-out eval phantom — slow and
+accelerator-bound, so it only runs with FFN_QUALITY=1 (the numbers it
+asserts are the ones published in RESULTS.md).
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CKPTS = sorted(glob.glob(os.path.join(REPO, "models/phantom/*.npz")))
+BEST = os.path.join(REPO, "models/phantom/model-r2.npz")
+
+
+@pytest.mark.parametrize("path", CKPTS, ids=[os.path.basename(p)
+                                             for p in CKPTS])
+def test_shipped_checkpoint_loads_and_runs(path):
+    import jax.numpy as jnp
+
+    from ffn_tpu.models import convstack_3d, params_io
+
+    params = params_io.load_params_npz(path)
+    model = convstack_3d.ConvStack3DFFNModel(
+        fov_size=[33, 33, 33], deltas=[8, 8, 8], depth=12, features=32)
+    tree = params["params"] if "params" in params else params
+    assert "conv0_a" in tree and "conv_lom" in tree
+    assert tree["conv0_a"]["kernel"].shape == (3, 3, 3, 2, 32)
+
+    image = jnp.zeros((1, 33, 33, 33, 1), jnp.float32)
+    seed = jnp.full((1, 33, 33, 33, 1), -2.944, jnp.float32)
+    out = model.apply(params, image, seed)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.quality
+@pytest.mark.skipif(os.environ.get("FFN_QUALITY") != "1",
+                    reason="needs FFN_QUALITY=1 + a real accelerator")
+@pytest.mark.skipif(not os.path.exists(BEST),
+                    reason="best checkpoint not shipped yet")
+def test_shipped_checkpoint_quality_gate():
+    """Object-level agreement of the shipped round-2 checkpoint on a
+    held-out phantom must not regress below the published floor."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ, Q_CKPT=BEST, Q_SIZE="100", Q_SMALL="0",
+               Q_LANES="16", Q_MAX_ITERS="2000")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/quality_eval.py")],
+        env=env, capture_output=True, text=True, timeout=3600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines()
+            if '"phantom_gt_agreement"' in l][-1]
+    result = json.loads(line)
+    assert result["agreement"] >= 0.85, result

@@ -15,9 +15,10 @@ Baseline derivation (vs_baseline): the reference segments training2 250^3
 in ~420 s on a P100 (README.md:130-131); at roughly 1e5 FOV inferences for
 that volume this is ~240 FOV/s. vs_baseline = ours / 240.
 
-Env knobs: BENCH_BATCH (lanes, default 16), BENCH_STEPS (default 30),
+Env knobs: BENCH_BATCH (lanes, default 120), BENCH_STEPS (default 30),
 BENCH_CANVAS (default 250), BENCH_PRECISION (default|highest),
-BENCH_DTYPE (f32|bf16|int8), BENCH_MODE (hops|select).
+BENCH_DTYPE (f32|bf16|int8), BENCH_MODE (hops|select),
+BENCH_HOPS (default 16), BENCH_SEED_DTYPE (f32|bf16 POM storage).
 
 BENCH_MODE=hops (default) measures the device-resident movement path
 (hop_engine.run_hops: pop-until-valid from the on-device FIFO -> conv
@@ -115,7 +116,7 @@ def main():
     else:
         eng = engine_lib.FloodFillEngine(
             model, params, pad_value=-2.944, move_threshold=2.197,
-            disco_seed_threshold=0.0)
+            disco_seed_threshold=0.0, seed_dtype=seed_dtype)
         image_dev = eng.put_image(image)
         seeds = eng.new_seed_batch(batch, image.shape)
         seeds = eng.reset_lanes(seeds, np.ones(batch, bool), positions,

@@ -128,22 +128,9 @@ class BatchCanvas:
                                       align_and_crop=None):
         """Seeds the shared segmentation from an existing volume (same
         semantics as Canvas.init_segmentation_from_volume)."""
-        from ffn_tpu.inference import segmentation as segmentation_lib
-        init_seg = volume[:, corner[0]:end[0], corner[1]:end[1],
-                          corner[2]:end[2]]
-        init_seg = init_seg[0, ...]
-        init_seg, mapping = segmentation_lib.make_contiguous(init_seg)
-        self.global_to_local_ids = dict(mapping)
-        self.local_to_global_ids = {
-            v: k for k, v in self.global_to_local_ids.items()}
-        if align_and_crop is not None:
-            init_seg = align_and_crop(init_seg)
-        self.segmentation[...] = init_seg
-        if self.keep_probability_maps:
-            self.seg_prob[self.segmentation > 0] = \
-                storage.quantize_probability(np.array([1.0]))
-        self._max_id = int(np.max(self.segmentation))
-        self.log_info("Max restored ID is: %d.", self._max_id)
+        from ffn_tpu.inference import canvas as canvas_lib
+        canvas_lib.init_segmentation_common(self, volume, corner, end,
+                                            align_and_crop)
 
     def get_next_segment_id(self) -> int:
         self._max_id += 1
@@ -580,21 +567,13 @@ class BatchCanvas:
 
         # Download only the visited bounding box (bucketed shapes) — a full
         # lane is ~64 MB over the tunnel, the bbox of a typical object is a
-        # small fraction of that.
+        # small fraction of that. (A bbox-based min-size pre-gate is NOT
+        # useful here: the bbox includes the ±pred_size/2 write margins,
+        # ≥33³ voxels for the flagship model — always above realistic
+        # min_segment_size values.)
         sel_start = np.maximum(lane.min_pos - self._pred_size // 2, 0)
         sel_end = np.minimum(lane.max_pos + self._pred_size // 2 + 1,
                              self.shape)
-        # An object whose entire visited bbox is below min_segment_size
-        # can't survive the size gate — skip the download.
-        if int(np.prod(sel_end - sel_start)) < \
-                self.options.min_segment_size:
-            if self.segmentation[pos] == 0:
-                self.segmentation[pos] = -1
-            self.log_info("lane %d: failed, too small (bbox)", li)
-            self.counters["invalid-small-time-ms"].IncrementBy(
-                t_seg * MSEC_IN_SEC)
-            return
-
         with timer_counter(self.counters, "finalize"):
             region, region_start = self._lane_region(
                 li, sel_start, sel_end - sel_start)

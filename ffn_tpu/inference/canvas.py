@@ -31,6 +31,28 @@ from ffn_tpu.proto import inference_pb2
 MSEC_IN_SEC = 1000
 
 
+def init_segmentation_common(canvas, volume, corner, end,
+                             align_and_crop=None):
+    """Seeds a canvas's segmentation from an existing volume (shared by
+    the serial Canvas and the batched canvases; ref
+    inference.py:685-726)."""
+    init_seg = volume[:, corner[0]:end[0], corner[1]:end[1],
+                      corner[2]:end[2]]
+    init_seg = init_seg[0, ...]
+    init_seg, mapping = segmentation_lib.make_contiguous(init_seg)
+    canvas.global_to_local_ids = dict(mapping)
+    canvas.local_to_global_ids = {
+        v: k for k, v in canvas.global_to_local_ids.items()}
+    if align_and_crop is not None:
+        init_seg = align_and_crop(init_seg)
+    canvas.segmentation[...] = init_seg
+    if canvas.keep_probability_maps:
+        canvas.seg_prob[canvas.segmentation > 0] = \
+            storage.quantize_probability(np.array([1.0]))
+    canvas._max_id = int(np.max(canvas.segmentation))
+    canvas.log_info("Max restored ID is: %d.", canvas._max_id)
+
+
 class Canvas:
     """Tracks the inference state and results within one subvolume."""
 
@@ -359,21 +381,7 @@ class Canvas:
     def init_segmentation_from_volume(self, volume, corner, end,
                                       align_and_crop=None):
         """Seeds the canvas segmentation from an existing volume."""
-        init_seg = volume[:, corner[0]:end[0], corner[1]:end[1],
-                          corner[2]:end[2]]
-        init_seg = init_seg[0, ...]
-        init_seg, mapping = segmentation_lib.make_contiguous(init_seg)
-        self.global_to_local_ids = dict(mapping)
-        self.local_to_global_ids = {
-            v: k for k, v in self.global_to_local_ids.items()}
-        if align_and_crop is not None:
-            init_seg = align_and_crop(init_seg)
-        self.segmentation[...] = init_seg
-        if self.keep_probability_maps:
-            self.seg_prob[self.segmentation > 0] = \
-                storage.quantize_probability(np.array([1.0]))
-        self._max_id = int(np.max(self.segmentation))
-        self.log_info("Max restored ID is: %d.", self._max_id)
+        init_segmentation_common(self, volume, corner, end, align_and_crop)
 
     # -- checkpointing (same npz schema as the reference) --------------------
 

@@ -290,7 +290,8 @@ class FloodFillEngine:
         pos (B, 3)."""
         def one(seed, reset, p):
             cleared = jnp.full(seed.shape, jnp.nan, seed.dtype)
-            cleared = cleared.at[p[0], p[1], p[2]].set(init_activation)
+            cleared = cleared.at[p[0], p[1], p[2]].set(
+                jnp.asarray(init_activation, seed.dtype))
             return jnp.where(reset, cleared, seed)
 
         return jax.vmap(one)(seeds, reset_mask, pos)
@@ -298,12 +299,14 @@ class FloodFillEngine:
     def _reset_impl(self, seed, pos, init_activation):
         """Clears the seed to NaN and plants init_activation at pos."""
         seed = jnp.full_like(seed, jnp.nan)
-        return seed.at[pos[0], pos[1], pos[2]].set(init_activation)
+        return seed.at[pos[0], pos[1], pos[2]].set(
+            jnp.asarray(init_activation, seed.dtype))
 
     def _reset_lane_impl(self, seeds, lane, pos, init_activation):
         """Batched variant: resets one lane of (B, Z, Y, X) seeds."""
         cleared = jnp.full(seeds.shape[1:], jnp.nan, seeds.dtype)
-        cleared = cleared.at[pos[0], pos[1], pos[2]].set(init_activation)
+        cleared = cleared.at[pos[0], pos[1], pos[2]].set(
+            jnp.asarray(init_activation, seeds.dtype))
         return seeds.at[lane].set(cleared)
 
     # -- host API -------------------------------------------------------------

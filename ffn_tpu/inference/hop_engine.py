@@ -163,7 +163,8 @@ class HopEngine(FloodFillEngine):
     def _reseed(self, state: LaneState, reset, pos, init_activation):
         def one_seed(seed, r, p):
             cleared = jnp.full(seed.shape, jnp.nan, seed.dtype)
-            cleared = cleared.at[p[0], p[1], p[2]].set(init_activation)
+            cleared = cleared.at[p[0], p[1], p[2]].set(
+                jnp.asarray(init_activation, seed.dtype))
             return jnp.where(r, cleared, seed)
 
         def one_done(done, r):

@@ -113,17 +113,24 @@ class Runner:
 
         opts = request.inference_options
         from scipy.special import logit as _logit
+        import jax.numpy as jnp
         from ffn_tpu.inference import hop_engine
         # HopEngine is a strict superset of FloodFillEngine: it adds the
         # device-resident movement programs used by HopBatchCanvas while
         # keeping the round-based programs for Canvas/BatchCanvas.
+        # FFN_TPU_SEED_DTYPE=bf16 halves per-lane POM HBM (doubles the
+        # feasible concurrent_requests) at a small fidelity cost.
+        seed_dtype = (jnp.bfloat16
+                      if os.environ.get("FFN_TPU_SEED_DTYPE") == "bf16"
+                      else jnp.float32)
         self.engine = hop_engine.HopEngine(
             self.model, self.model_params,
             pad_value=float(_logit(opts.pad_value)),
             move_threshold=float(_logit(opts.move_threshold)),
             disco_seed_threshold=float(opts.disco_seed_threshold)
             if opts.HasField("disco_seed_threshold") else
-            float(opts.disco_seed_threshold))
+            float(opts.disco_seed_threshold),
+            seed_dtype=seed_dtype)
 
         self._image_volume = storage.decorated_volume(request.image)
         assert self._image_volume is not None

@@ -10,11 +10,13 @@ tree structure.
 Usage: python tools/export_ema.py <ckpt_dir> <step> <out.npz>
 """
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
 
 
 def main():

@@ -65,6 +65,8 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
         # Per-lane cumulative device counters at the last ingest (device
         # counters reset on reseed; host counters are monotonic).
         self._skip_base = np.zeros((self.lanes, 3), np.int64)
+        # Recent per-round live-lane counts (drives tail compaction).
+        self._alive_history = []
 
     # -- BatchCanvas hooks ----------------------------------------------------
 
@@ -106,11 +108,11 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
         seed_iter = TimedIter(self.seed_policy, self.counters,
                               "seed-policy")
         seeds_exhausted = False
-        B = self.lanes
 
         with timer_counter(self.counters, "segment_all"):
             while True:
                 self._maybe_save_checkpoint()
+                B = self.lanes
 
                 # 1. Reseed idle lanes.
                 reset_mask = np.zeros(B, bool)
@@ -127,10 +129,50 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
                         self._state, reset_mask, reset_pos,
                         self.options.init_activation)
 
-                if not any(lane.state == _RUNNING
-                           for lane in self._lanes):
+                alive = [li for li, lane in enumerate(self._lanes)
+                         if lane.state == _RUNNING]
+                if not alive:
                     if seeds_exhausted:
                         break
+                    continue
+
+                # Tail compaction: once the seed supply is exhausted and
+                # recent rounds used at most 1/4 of the lanes, shrink the
+                # batch so the remaining objects stop paying for dead
+                # lanes' conv slots. Peak-over-window (not instantaneous
+                # occupancy) so a transient dip doesn't over-shrink while
+                # deferred seeds can still refill lanes.
+                self._alive_history.append(len(alive))
+                if len(self._alive_history) > 8:
+                    self._alive_history.pop(0)
+                peak = max(self._alive_history)
+                if (seeds_exhausted and self.lanes > 8
+                        and len(self._alive_history) == 8
+                        and peak <= self.lanes // 4):
+                    new_b = max(8, 2 * peak)
+                    self.log_info(
+                        "Compacting %d lanes -> %d (%d alive, seeds "
+                        "exhausted).", self.lanes, new_b, len(alive))
+                    keep = alive + [alive[0]] * (new_b - len(alive))
+                    self._state = self.engine.compact_lanes(self._state,
+                                                            keep)
+                    # Padding lanes duplicate a live lane's buffers but
+                    # start IDLE with nothing to do.
+                    new_lanes = [self._lanes[li] for li in alive]
+                    for _ in range(new_b - len(alive)):
+                        pad = batch_canvas_lib._Lane()
+                        new_lanes.append(pad)
+                    import dataclasses as _dc
+                    import jax.numpy as _jnp
+                    status = np.asarray(self._state.status).copy()
+                    status[len(alive):] = hop_engine_lib.IDLE
+                    self._state = _dc.replace(
+                        self._state, status=_jnp.asarray(status))
+                    self._lanes = new_lanes
+                    self.lanes = new_b
+                    self._skip_base = self._skip_base[keep]
+                    self._skip_base[len(alive):] = 0
+                    self._alive_history = []
                     continue
 
                 # 2. One multi-hop device round for all lanes. Fresh lanes

@@ -420,6 +420,17 @@ class HopEngine(FloodFillEngine):
         ], axis=1)
         return state, packed
 
+    def compact_lanes(self, state: LaneState, keep) -> LaneState:
+        """Returns a new LaneState holding only the lanes in `keep`.
+
+        Used to shrink the batch for the end-of-subvolume tail: when a
+        handful of objects remain, every hop still pays the full-width
+        conv batch; gathering the live lanes into a smaller state makes
+        tail rounds proportionally cheaper (run_hops recompiles once per
+        distinct lane count; the persistent cache amortizes it)."""
+        idx = jnp.asarray(np.asarray(keep, np.int32))
+        return jax.tree.map(lambda a: a[idx], state)
+
     # -- checkpoint support --------------------------------------------------
 
     def download_lane_queue(self, state: LaneState, lane: int):

@@ -119,3 +119,14 @@ def test_bf16_seed_storage_equivalent_objects():
     np.testing.assert_array_equal(
         np.maximum(hc.segmentation, 0) > 0,
         np.maximum(ref.segmentation, 0) > 0)
+
+
+def test_tail_compaction_preserves_results():
+    """When seeds run out and most lanes idle, the canvas shrinks the
+    lane batch; segmentation must be unaffected."""
+    ref = run_hop(lanes=2, hops=4)
+    hc = run_hop(lanes=12, hops=4)   # compacts to 8 in the tail
+    assert hc.lanes < 12, "compaction did not trigger"
+    a = np.maximum(hc.segmentation, 0)
+    b = np.maximum(ref.segmentation, 0)
+    assert len(np.unique(a[a > 0])) == len(np.unique(b[b > 0]))

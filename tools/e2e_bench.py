@@ -150,6 +150,14 @@ inference_options {{
         "speedup_vs_p100": round(420.0 / wall, 2) if wall else 0,
     }
     print(json.dumps(result))
+    # Wall-time breakdown of the big phases (ms).
+    breakdown = {}
+    for name in ("predict", "finalize", "seed-policy", "save_checkpoint",
+                 "segment_all"):
+        value = runner.counters[f"{name}-time-ms"].value
+        if value:
+            breakdown[name] = int(value)
+    print(json.dumps({"metric": "e2e_time_breakdown_ms", **breakdown}))
     counters_path = os.path.join(out_dir, "counters.txt")
     runner.counters.dump(counters_path)
     print(f"counters: {counters_path}")

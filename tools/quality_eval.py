@@ -40,6 +40,13 @@ def build_request(vol_path, out_dir, ckpt, lanes, dtype):
                   "fov_size": [33, 33, 33], "deltas": [8, 8, 8]}
     if dtype == "bf16":
         model_args["dtype"] = "bfloat16"
+    # Inference thresholds are per-dataset tuning knobs (ref
+    # doc/manual.md:66-87); defaults match the reference's fib25 config,
+    # env overrides support sweeps.
+    move_t = float(os.environ.get("Q_MOVE_T", "0.9"))
+    pad = float(os.environ.get("Q_PAD", "0.05"))
+    seg_t = float(os.environ.get("Q_SEG_T", "0.6"))
+    min_size = int(os.environ.get("Q_MIN_SIZE", "1000"))
     request = inference_pb2.InferenceRequest()
     text_format.Parse(f"""
 image {{ hdf5: "{vol_path}:raw" }}
@@ -52,11 +59,11 @@ segmentation_output_dir: "{out_dir}"
 concurrent_requests: {lanes}
 inference_options {{
   init_activation: 0.95
-  pad_value: 0.05
-  move_threshold: 0.9
+  pad_value: {pad}
+  move_threshold: {move_t}
   min_boundary_dist {{ x: 1 y: 1 z: 1 }}
-  segment_threshold: 0.6
-  min_segment_size: 1000
+  segment_threshold: {seg_t}
+  min_segment_size: {min_size}
 }}""", request)
     if dtype == "bf16":
         import jax.numpy as jnp

@@ -36,6 +36,7 @@ class DynamicImage:
 def heat_rgb(unit: np.ndarray) -> np.ndarray:
     """Maps [0,1] values to RGB uint8 (the gnuplot rgb1 palette:
     r=sqrt, g=cube, b=sine)."""
+    unit = np.nan_to_num(np.clip(unit, 0.0, 1.0))  # NaN = unvisited -> 0
     rgb = np.dstack([np.sqrt(unit), unit ** 3, np.sin(unit * np.pi)])
     return (rgb * 250.0).astype(np.uint8)
 

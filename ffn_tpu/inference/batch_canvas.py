@@ -63,6 +63,8 @@ class _Lane:
 class BatchCanvas:
     """Segments a subvolume with B concurrent flood-fill lanes."""
 
+    _allocate_seed_batch = True
+
     def __init__(self, model_info, engine, image, options,
                  lanes: int = 8, candidates_per_step: int = 4,
                  max_iters_per_segment: int = 0,
@@ -104,7 +106,12 @@ class BatchCanvas:
             if keep_probability_maps else None
 
         self._image_dev = engine.put_image(self.image)
-        self._seeds_dev = engine.new_seed_batch(lanes, self.shape)
+        # Subclasses with their own lane-state layout (HopBatchCanvas)
+        # suppress this allocation: a transiently-live duplicate of the
+        # multi-GB seed batch is the difference between fitting HBM and
+        # OOM at production lane counts.
+        self._seeds_dev = engine.new_seed_batch(lanes, self.shape) \
+            if self._allocate_seed_batch else None
         self._lanes = [_Lane() for _ in range(lanes)]
 
         self.origins = {}

@@ -51,6 +51,15 @@ class FloodFillEngine:
         self._pad_value = float(pad_value)
         self._move_threshold = float(move_threshold)
         self._disco_threshold = float(disco_seed_threshold)
+        # The thresholds enter every device program as ONE traced f32
+        # vector (pad, move, disco) rather than baked constants: two
+        # engines that differ only in thresholds (per-dataset tuning
+        # sweeps, doc/manual.md:66-87) then share every compiled
+        # program — on a tunneled backend each avoided compile is
+        # tens of seconds.
+        self._opts_host = np.array(
+            [self._pad_value, self._move_threshold,
+             self._disco_threshold], np.float32)
         # POM (seed) buffer storage dtype. bfloat16 halves HBM per lane —
         # at 250^3 that is the difference between 120 and 240 concurrent
         # lanes — at the cost of rounding stored logits to bf16 (may flip
@@ -69,8 +78,6 @@ class FloodFillEngine:
 
         self._step = jax.jit(self._step_impl, donate_argnums=(1,))
         self._step_batch = jax.jit(self._step_batch_impl, donate_argnums=(1,))
-        self._select_step = jax.jit(self._select_step_impl,
-                                    donate_argnums=(1,))
         self._reset = jax.jit(self._reset_impl, donate_argnums=(0,))
         self._reset_lane = jax.jit(self._reset_lane_impl, donate_argnums=(0,))
         self._reset_lanes = jax.jit(self._reset_lanes_impl,
@@ -78,11 +85,13 @@ class FloodFillEngine:
 
     # -- device programs ----------------------------------------------------
 
-    def _apply_model(self, image_patch, seed_patch):
+    def _apply_model(self, image_patch, seed_patch, opts):
         """One FFN update on a patch pair; returns the pred-size patch that
-        must be written back into the seed, plus the input seed patch."""
+        must be written back into the seed. opts is the traced f32[3]
+        (pad_value, move_threshold, disco_threshold) vector."""
         init_mask = jnp.isnan(seed_patch)
-        seed_in = jnp.where(init_mask, self._pad_value, seed_patch)
+        seed_in = jnp.where(init_mask, opts[0].astype(seed_patch.dtype),
+                            seed_patch)
 
         updated = self.model.apply(
             self.params, image_patch[None, ..., None],
@@ -98,20 +107,18 @@ class FloodFillEngine:
             logits = updated
             old_seed = seed_patch
 
-        if self._disco_threshold >= 0:
-            # Bias towards oversegmentation: never reverse disconnectedness
-            # predictions. (old_seed < th) is False for NaN, excluding
-            # previously-unvisited voxels — exact reference semantics
-            # (inference.py:416-436).
-            th_max = 0.0  # logit(0.5)
-            frac = jnp.mean(
-                (logits >= self._move_threshold).astype(jnp.float32))
-            apply_mask = frac > self._disco_threshold
-            mask = (old_seed < th_max) & (logits > old_seed)
-            logits = jnp.where(apply_mask & mask, old_seed, logits)
-        return logits
+        # Bias towards oversegmentation: never reverse disconnectedness
+        # predictions. (old_seed < th) is False for NaN, excluding
+        # previously-unvisited voxels — exact reference semantics
+        # (inference.py:416-436). disco_threshold < 0 disables the mask
+        # (evaluated on device so the program is threshold-independent).
+        th_max = 0.0  # logit(0.5)
+        frac = jnp.mean((logits >= opts[1]).astype(jnp.float32))
+        apply_mask = (opts[2] >= 0) & (frac > opts[2])
+        mask = (old_seed < th_max) & (logits > old_seed)
+        return jnp.where(apply_mask & mask, old_seed, logits)
 
-    def _step_impl(self, image, seed, pos):
+    def _step_impl(self, image, seed, pos, opts):
         """pos: int32[3] FoV center (zyx). Returns (new_seed, patch)."""
         margin = jnp.array([s // 2 for s in self._image_size], jnp.int32)
         img_start = pos - margin
@@ -121,14 +128,14 @@ class FloodFillEngine:
         seed_start = pos - seed_off
         seed_patch = jax.lax.dynamic_slice(seed, seed_start, self._seed_size)
 
-        logits = self._apply_model(image_patch, seed_patch)
+        logits = self._apply_model(image_patch, seed_patch, opts)
 
         write_start = seed_start + jnp.array(self._pred_delta, jnp.int32)
         new_seed = jax.lax.dynamic_update_slice(
             seed, logits.astype(seed.dtype), write_start)
         return new_seed, logits
 
-    def _step_batch_impl(self, image, seeds, pos, active):
+    def _step_batch_impl(self, image, seeds, pos, active, opts):
         """Batched step over B lanes.
 
         Args:
@@ -155,7 +162,7 @@ class FloodFillEngine:
             seed_patch = jax.lax.dynamic_slice(seed, seed_start,
                                                self._seed_size)
 
-            logits = self._apply_model(image_patch, seed_patch)
+            logits = self._apply_model(image_patch, seed_patch, opts)
 
             write_start = seed_start + jnp.array(self._pred_delta,
                                                  jnp.int32)
@@ -202,7 +209,7 @@ class FloodFillEngine:
         return jnp.stack(scores), jnp.stack(offsets)
 
     def _select_step_impl(self, image, seeds, candidates, start_pos,
-                          active, ignore_threshold):
+                          active, ignore_threshold, opts):
         """Batched step with on-device candidate selection.
 
         Per lane: drop candidates whose current seed value is below the
@@ -227,7 +234,7 @@ class FloodFillEngine:
             start_ok (B,) bool, scores (B, 6), offsets (B, 6, 3),
             pos (B, 3) — the executed position).
         """
-        move_t = jnp.float32(self._move_threshold)
+        move_t = opts[1]
 
         def one(seed, cands, start, act, ignore):
             start_val = seed[start[0], start[1], start[2]]
@@ -256,7 +263,7 @@ class FloodFillEngine:
             seed_start = pos - seed_off
             seed_patch = jax.lax.dynamic_slice(seed, seed_start,
                                                self._seed_size)
-            logits = self._apply_model(image_patch, seed_patch)
+            logits = self._apply_model(image_patch, seed_patch, opts)
 
             write_start = seed_start + jnp.array(self._pred_delta,
                                                  jnp.int32)
@@ -289,10 +296,12 @@ class FloodFillEngine:
         """Resets the lanes selected by reset_mask (B,) to a fresh seed at
         pos (B, 3)."""
         def one(seed, reset, p):
-            cleared = jnp.full(seed.shape, jnp.nan, seed.dtype)
-            cleared = cleared.at[p[0], p[1], p[2]].set(
-                jnp.asarray(init_activation, seed.dtype))
-            return jnp.where(reset, cleared, seed)
+            # Scalar-broadcast blank; a full-size cleared intermediate
+            # would double the dominant HBM allocation (see _reseed).
+            seed = jnp.where(reset, jnp.asarray(jnp.nan, seed.dtype), seed)
+            val = jnp.where(reset, jnp.asarray(init_activation, seed.dtype),
+                            seed[p[0], p[1], p[2]])
+            return seed.at[p[0], p[1], p[2]].set(val)
 
         return jax.vmap(one)(seeds, reset_mask, pos)
 
@@ -336,14 +345,15 @@ class FloodFillEngine:
         uses it to update its host mirror and the movement policy).
         """
         new_seed, patch = self._step(image, seed,
-                                     jnp.asarray(pos, jnp.int32))
+                                     jnp.asarray(pos, jnp.int32),
+                                     jnp.asarray(self._opts_host))
         return new_seed, np.asarray(patch)
 
     def step_batch(self, image: jax.Array, seeds: jax.Array,
                    pos: np.ndarray, active: np.ndarray):
         new_seeds, patches = self._step_batch(
             image, seeds, jnp.asarray(pos, jnp.int32),
-            jnp.asarray(active, bool))
+            jnp.asarray(active, bool), jnp.asarray(self._opts_host))
         return new_seeds, np.asarray(patches)
 
     def select_step(self, image: jax.Array, seeds: jax.Array,
@@ -377,7 +387,7 @@ class FloodFillEngine:
     def _select_step_packed(self, image, seeds, packed_in):
         """jit wrapper: unpacks the single upload buffer."""
         if not hasattr(self, "_select_step_packed_jit"):
-            def fn(image, seeds, packed_in):
+            def fn(image, seeds, packed_in, opts):
                 B = seeds.shape[0]
                 K = (packed_in.shape[1] - 5) // 3
                 candidates = packed_in[:, :3 * K].reshape(B, K, 3)
@@ -385,10 +395,12 @@ class FloodFillEngine:
                 active = packed_in[:, 3 * K + 3] > 0
                 ignore = packed_in[:, 3 * K + 4] > 0
                 return self._select_step_impl(image, seeds, candidates,
-                                              start_pos, active, ignore)
+                                              start_pos, active, ignore,
+                                              opts)
 
             self._select_step_packed_jit = jax.jit(fn, donate_argnums=(1,))
-        return self._select_step_packed_jit(image, seeds, packed_in)
+        return self._select_step_packed_jit(image, seeds, packed_in,
+                                            jnp.asarray(self._opts_host))
 
     def reset_lanes(self, seeds: jax.Array, reset_mask: np.ndarray,
                     pos: np.ndarray, init_activation: float):

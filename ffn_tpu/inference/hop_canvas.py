@@ -42,6 +42,8 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
     round trip.
     """
 
+    _allocate_seed_batch = False   # LaneState replaces _seeds_dev
+
     def __init__(self, model_info, engine, image, options, hops: int = 16,
                  **kwargs):
         if not isinstance(engine, hop_engine_lib.HopEngine):
@@ -154,8 +156,18 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
                         "Compacting %d lanes -> %d (%d alive, seeds "
                         "exhausted).", self.lanes, new_b, len(alive))
                     keep = alive + [alive[0]] * (new_b - len(alive))
-                    self._state = self.engine.compact_lanes(self._state,
-                                                            keep)
+                    compacted = self.engine.compact_lanes(self._state,
+                                                          keep)
+                    if compacted is None:
+                        # Input + compacted copy don't fit HBM together;
+                        # keep running full-width and don't retry until
+                        # occupancy drops further.
+                        self.log_info(
+                            "Compaction to %d lanes skipped (device "
+                            "memory).", new_b)
+                        self._alive_history = []
+                        continue
+                    self._state = compacted
                     # Padding lanes duplicate a live lane's buffers but
                     # start IDLE with nothing to do.
                     new_lanes = [self._lanes[li] for li in alive]

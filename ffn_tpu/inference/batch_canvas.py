@@ -376,6 +376,26 @@ class BatchCanvas:
                     continue
                 available.append(tuple(cand))
 
+            # Relaxed deferral: when over half the lanes sit idle, the
+            # conv slots they'd occupy are free anyway — better to
+            # speculatively flood deferred seeds than run the batch
+            # hollow. A speculative lane whose seed point ends up inside
+            # another object's claim is rejected at finalization (the
+            # serial-ordering outcome), so semantics are unchanged; the
+            # only cost is duplicate compute that idle slots donate.
+            if len(available) < len(idle) and len(idle) > self.lanes // 2:
+                still = []
+                for cand in self._deferred:
+                    cand_t = tuple(int(v) for v in cand)
+                    if len(available) >= len(idle) \
+                            or near_available(cand_t):
+                        still.append(cand)
+                    elif self._valid_seed_pos(cand_t):
+                        available.append(cand_t)
+                        self.counters[
+                            "relaxed-deferral-seeds"].Increment()
+                self._deferred = still
+
         assignments = []
         for li in idle:
             if not available:
@@ -544,6 +564,13 @@ class BatchCanvas:
         return self.engine.lane_seed_region(self._seeds_dev, li, sel_start,
                                             size_zyx)
 
+    def _lane_mask_region(self, li: int, sel_start, size_zyx, start_pos):
+        """Thresholded finalization download (uint8 mask + weak-seed
+        verdict); see engine.lane_mask_region."""
+        return self.engine.lane_mask_region(
+            self._seeds_dev, li, sel_start, size_zyx,
+            self.options.segment_threshold, start_pos)
+
     def _post_segment(self, sid: int, sel, mask) -> None:
         """Hook called after a new segment id is written (HopBatchCanvas
         mirrors the claim into the device blocked volume)."""
@@ -572,29 +599,55 @@ class BatchCanvas:
                 t_seg * MSEC_IN_SEC)
             return
 
+        if self.segmentation[pos] > 0:
+            # Another lane finalized an object covering this lane's seed
+            # point: under serial ordering this seed would never have
+            # started. Dropping the lane (instead of carving a residual
+            # segment out of the overlap) keeps batched results
+            # consistent with the serial canvas.
+            self.log_info("lane %d: seed claimed by segment %d, dropped",
+                          li, int(self.segmentation[pos]))
+            self.counters["seed-claimed-drops"].Increment()
+            self.counters["invalid-other-time-ms"].IncrementBy(
+                t_seg * MSEC_IN_SEC)
+            return
+
         # Download only the visited bounding box (bucketed shapes) — a full
         # lane is ~64 MB over the tunnel, the bbox of a typical object is a
         # small fraction of that. (A bbox-based min-size pre-gate is NOT
         # useful here: the bbox includes the ±pred_size/2 write margins,
         # ≥33³ voxels for the flagship model — always above realistic
-        # min_segment_size values.)
+        # min_segment_size values.) Without probability maps, only the
+        # thresholded uint8 mask crosses the tunnel (4x less traffic than
+        # the f32 logits — finalization transfers dominate wall time on
+        # object-dense volumes).
         sel_start = np.maximum(lane.min_pos - self._pred_size // 2, 0)
         sel_end = np.minimum(lane.max_pos + self._pred_size // 2 + 1,
                              self.shape)
+        region = None
         with timer_counter(self.counters, "finalize"):
-            region, region_start = self._lane_region(
-                li, sel_start, sel_end - sel_start)
+            if self.keep_probability_maps:
+                region, region_start = self._lane_region(
+                    li, sel_start, sel_end - sel_start)
+                seed_at_start = region[tuple(
+                    int(p - r) for p, r in zip(pos, region_start))]
+                start_ok = bool(seed_at_start >=
+                                self.options.move_threshold)
+                with np.errstate(invalid="ignore"):
+                    mask_buf = region >= self.options.segment_threshold
+            else:
+                mask_buf, region_start, start_ok = self._lane_mask_region(
+                    li, sel_start, sel_end - sel_start, pos)
+                mask_buf = mask_buf > 0
 
-        def region_view(global_sel_start, global_sel_end):
-            return region[tuple(
+        def region_view(buf, global_sel_start, global_sel_end):
+            return buf[tuple(
                 slice(int(s - r), int(e - r))
                 for s, e, r in zip(global_sel_start, global_sel_end,
                                    region_start))]
 
         # Weak original seed?
-        seed_at_start = region[tuple(int(p - r) for p, r in
-                                     zip(pos, region_start))]
-        if not (seed_at_start >= self.options.move_threshold):
+        if not start_ok:
             if self.segmentation[pos] == 0:
                 self.segmentation[pos] = -1
             self.log_info("lane %d: failed, weak seed", li)
@@ -604,9 +657,7 @@ class BatchCanvas:
 
         sel = tuple(slice(int(s), int(e))
                     for s, e in zip(sel_start, sel_end))
-        with np.errstate(invalid="ignore"):
-            mask = region_view(sel_start, sel_end) >= \
-                self.options.segment_threshold
+        mask = region_view(mask_buf, sel_start, sel_end)
         raw_segmented_voxels = int(np.sum(mask))
 
         overlapped_ids, counts = np.unique(self.segmentation[sel][mask],
@@ -633,7 +684,7 @@ class BatchCanvas:
         self.segmentation[sel][mask] = sid
         if self.keep_probability_maps:
             self.seg_prob[sel][mask] = storage.quantize_probability(
-                expit(region_view(sel_start, sel_end)[mask]))
+                expit(region_view(region, sel_start, sel_end)[mask]))
         self.overlaps[sid] = np.array([overlapped_ids, counts])
         self.origins[sid] = storage.OriginInfo(pos, num_iters, t_seg)
         self._post_segment(sid, sel, mask)

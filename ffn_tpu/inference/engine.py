@@ -443,6 +443,49 @@ class FloodFillEngine:
                                jnp.asarray(start, jnp.int32))
         return np.asarray(region), start
 
+    def lane_mask_region(self, seeds: jax.Array, lane: int, start_zyx,
+                         size_zyx, seg_threshold: float, start_pos):
+        """Thresholded finalization download: uint8 (seed >= threshold)
+        mask of a sub-box plus the origin's weak-seed verdict.
+
+        4x less host traffic than lane_seed_region (f32) — finalization
+        transfers dominate wall time on runs with many objects, and the
+        canvas only needs the thresholded mask unless it keeps
+        probability maps. Bucketing as in lane_seed_region. NaN
+        (unvisited) thresholds to False, matching the host-side
+        `region >= threshold` semantics on NaN.
+
+        Returns (mask uint8 ndarray, actual_start, start_ok bool).
+        """
+        shape = seeds.shape[1:]
+        bucket = tuple(min(s, ((int(v) + 63) // 64) * 64)
+                       for v, s in zip(size_zyx, shape))
+        start = np.minimum(np.maximum(np.asarray(start_zyx, np.int64), 0),
+                           np.array(shape) - np.array(bucket))
+
+        cache = getattr(self, "_mask_region_fns", None)
+        if cache is None:
+            cache = self._mask_region_fns = {}
+        if bucket not in cache:
+            def fn(seeds, lane, start, thr, spos, opts,
+                   _bucket=bucket):
+                lane_buf = jax.lax.dynamic_index_in_dim(
+                    seeds, lane, axis=0, keepdims=False)
+                region = jax.lax.dynamic_slice(lane_buf, start, _bucket)
+                mask = (region >= thr.astype(region.dtype)).astype(
+                    jnp.uint8)
+                sv = lane_buf[spos[0], spos[1], spos[2]]
+                start_ok = sv >= opts[1].astype(sv.dtype)
+                return mask, start_ok
+
+            cache[bucket] = jax.jit(fn)
+        mask, start_ok = cache[bucket](
+            seeds, jnp.int32(lane), jnp.asarray(start, jnp.int32),
+            jnp.float32(seg_threshold),
+            jnp.asarray(start_pos, jnp.int32),
+            jnp.asarray(self._opts_host))
+        return np.asarray(mask), start, bool(start_ok)
+
     def set_lane_seed_region(self, seeds: jax.Array, lane: int, start_zyx,
                              region: np.ndarray) -> jax.Array:
         """Uploads a sub-box into one lane's seed buffer (checkpoint

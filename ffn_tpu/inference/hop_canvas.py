@@ -67,8 +67,10 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
         # Per-lane cumulative device counters at the last ingest (device
         # counters reset on reseed; host counters are monotonic).
         self._skip_base = np.zeros((self.lanes, 3), np.int64)
-        # Recent per-round live-lane counts (drives tail compaction).
+        # Recent per-round live-lane counts (drives tail compaction);
+        # compaction waits for a full window of low occupancy.
         self._alive_history = []
+        self._compact_window = 8
 
     # -- BatchCanvas hooks ----------------------------------------------------
 
@@ -91,6 +93,11 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
     def _lane_region(self, li, sel_start, size_zyx):
         return self.engine.lane_seed_region(self._state.seeds, li,
                                             sel_start, size_zyx)
+
+    def _lane_mask_region(self, li, sel_start, size_zyx, start_pos):
+        return self.engine.lane_mask_region(
+            self._state.seeds, li, sel_start, size_zyx,
+            self.options.segment_threshold, start_pos)
 
     def _post_segment(self, sid, sel, mask):
         region = mask.astype(np.uint8)
@@ -145,11 +152,12 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
                 # occupancy) so a transient dip doesn't over-shrink while
                 # deferred seeds can still refill lanes.
                 self._alive_history.append(len(alive))
-                if len(self._alive_history) > 8:
+                if len(self._alive_history) > self._compact_window:
                     self._alive_history.pop(0)
                 peak = max(self._alive_history)
                 if (seeds_exhausted and self.lanes > 8
-                        and len(self._alive_history) == 8
+                        and len(self._alive_history) ==
+                        self._compact_window
                         and peak <= self.lanes // 4):
                     new_b = max(8, 2 * peak)
                     self.log_info(

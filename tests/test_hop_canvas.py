@@ -25,12 +25,14 @@ def make_hop_engine(opts, queue_capacity=4096):
     return model, eng
 
 
-def run_hop(lanes, hops, **kwargs):
+def run_hop(lanes, hops, compact_window=None, **kwargs):
     image = make_image()
     opts = make_options()
     model, eng = make_hop_engine(opts)
     hc = hop_canvas_lib.HopBatchCanvas(model.info, eng, image, opts,
                                        lanes=lanes, hops=hops, **kwargs)
+    if compact_window is not None:
+        hc._compact_window = compact_window
     hc.segment_all(seed_policy=GridSeeds)
     return hc
 
@@ -125,7 +127,10 @@ def test_tail_compaction_preserves_results():
     """When seeds run out and most lanes idle, the canvas shrinks the
     lane batch; segmentation must be unaffected."""
     ref = run_hop(lanes=2, hops=4)
-    hc = run_hop(lanes=12, hops=4)   # compacts to 8 in the tail
+    # A 1-round window so the short post-exhaustion tail of this small
+    # fixture still exercises compaction (production keeps the longer
+    # default window).
+    hc = run_hop(lanes=12, hops=4, compact_window=1)
     assert hc.lanes < 12, "compaction did not trigger"
     a = np.maximum(hc.segmentation, 0)
     b = np.maximum(ref.segmentation, 0)

@@ -82,7 +82,28 @@ inference_options {{
 
 
 def run_seg(vol_path, size, ckpt, lanes, dtype, workdir, tag):
+    """Segments the volume; returns (seg, wall_s, fov_calls, objects).
+
+    Q_PAD_IMAGE=<margin> reflect-pads the image before segmenting and
+    crops the result back: voxels within the FOV margin of a volume
+    face are unreachable by the moving FOV, so border objects are
+    otherwise truncated by geometry, not model quality. This mirrors
+    how production runs handle borders — overlapping subvolume
+    decomposition (reference doc/manual.md:107-117) gives interior
+    context to every face except the dataset boundary.
+    """
     from ffn_tpu.inference import runner as runner_lib
+
+    pad = int(os.environ.get("Q_PAD_IMAGE", "0"))
+    if pad:
+        padded_path = vol_path.replace(".h5", f"_pad{pad}.h5")
+        if not os.path.exists(padded_path):
+            with h5py.File(vol_path, "r") as f:
+                raw = f["raw"][...]
+            raw = np.pad(raw, pad, mode="reflect")
+            with h5py.File(padded_path, "w") as f:
+                f.create_dataset("raw", data=raw)
+        vol_path = padded_path
 
     out_dir = os.path.join(workdir, f"q_{tag}_{time.time():.0f}")
     request = build_request(vol_path, out_dir, ckpt, lanes, dtype)
@@ -92,10 +113,12 @@ def run_seg(vol_path, size, ckpt, lanes, dtype, workdir, tag):
         runner.canvas_defaults["max_iters_per_segment"] = max_iters
     runner.start(request, precision="int8" if dtype == "int8" else None)
     t0 = time.time()
-    canvas = runner.run((0, 0, 0), (size,) * 3,
+    canvas = runner.run((0, 0, 0), (size + 2 * pad,) * 3,
                         keep_probability_maps=False)
     wall = time.time() - t0
     seg = np.maximum(canvas.segmentation, 0).astype(np.uint64)
+    if pad:
+        seg = seg[pad:-pad, pad:-pad, pad:-pad]
     fovs = runner.counters["fov-moves"].value
     return seg, wall, int(fovs), len(canvas.origins)
 

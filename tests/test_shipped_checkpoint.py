@@ -50,8 +50,11 @@ def test_shipped_checkpoint_quality_gate():
     import subprocess
     import sys
 
+    # Q_PAD_IMAGE: reflect padding so border cells are scored on model
+    # quality, not FOV-margin reachability (production uses overlapping
+    # subvolumes; see tools/quality_eval.py).
     env = dict(os.environ, Q_CKPT=BEST, Q_SIZE="100", Q_SMALL="0",
-               Q_LANES="16", Q_MAX_ITERS="2000")
+               Q_LANES="16", Q_MAX_ITERS="4000", Q_PAD_IMAGE="16")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools/quality_eval.py")],
         env=env, capture_output=True, text=True, timeout=3600)
@@ -59,4 +62,4 @@ def test_shipped_checkpoint_quality_gate():
     line = [l for l in out.stdout.splitlines()
             if '"phantom_gt_agreement"' in l][-1]
     result = json.loads(line)
-    assert result["agreement"] >= 0.85, result
+    assert result["agreement"] >= 0.95, result

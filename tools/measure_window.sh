@@ -24,23 +24,22 @@ fi
 CKPT="${1:-$(ls -t /tmp/ph_r2/train/ckpt/model.ckpt-*.npz | head -1)}"
 echo "== checkpoint: $CKPT"
 
-echo "== bench.py (default: 120 lanes, f32 seeds, hops)"
-timeout 900 python bench.py
+echo "== bench.py (default config)"
+timeout 900 python bench.py 2>/dev/null
 
-echo "== bench.py (bf16 seeds, 240 lanes)"
-BENCH_SEED_DTYPE=bf16 BENCH_BATCH=240 timeout 900 python bench.py
+echo "== e2e 250^3 (120 lanes, bf16 seeds)"
+FFN_TPU_SEED_DTYPE=bf16 E2E_CKPT="$CKPT" E2E_LANES=120 \
+    E2E_MAX_ITERS=4000 timeout 1800 python tools/e2e_bench.py 2>/dev/null \
+    | grep -a "wallclock_proxy\|breakdown"
 
-echo "== e2e 250^3 (phantom ckpt, 120 lanes)"
-E2E_CKPT="$CKPT" E2E_LANES=120 E2E_MAX_ITERS=4000 E2E_DEPTH=12 \
-    timeout 1800 python tools/e2e_bench.py
+echo "== e2e 250^3 (48 lanes, bf16 seeds)"
+FFN_TPU_SEED_DTYPE=bf16 E2E_CKPT="$CKPT" E2E_LANES=48 \
+    E2E_MAX_ITERS=4000 timeout 1800 python tools/e2e_bench.py 2>/dev/null \
+    | grep -a "wallclock_proxy\|breakdown"
 
-echo "== quality sweep (80^3 probes)"
-for t in 0.9 0.8 0.7 0.6; do
-    echo "-- move_t=$t"
-    Q_CKPT="$CKPT" Q_SIZE=80 Q_LANES=16 Q_SMALL=0 Q_MOVE_T=$t \
-        Q_MAX_ITERS=4000 timeout 900 python tools/quality_eval.py \
-        2>/dev/null | grep phantom_gt
-done
+echo "== quality: 250^3 padded GT agreement + lanes-vs-serial (100^3)"
+Q_CKPT="$CKPT" Q_SIZE=250 Q_LANES=120 Q_SMALL=100 Q_PAD_IMAGE=16 \
+    Q_MAX_ITERS=4000 timeout 3000 python tools/quality_eval.py 2>/dev/null
 
 echo "== window done; resume training with:"
 echo "PH_TRAINER=scan PH_BATCH=128 PH_PRECISION=bf16 PH_REMAT=0" \

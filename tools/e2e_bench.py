@@ -9,7 +9,7 @@ the true system wall-clock (the reference's comparable number: ~420 s on a
 P100 for training2 250^3) plus an object-level agreement proxy against
 the phantom's ground truth.
 
-Env knobs: E2E_SIZE (default 250), E2E_LANES (default 64),
+Env knobs: E2E_SIZE (default 250), E2E_LANES (default 48),
 E2E_DTYPE (f32|bf16, default bf16), E2E_PRECISION (default|highest),
 E2E_CKPT (checkpoint path; default the shipped fib25 TF1 checkpoint),
 E2E_DEPTH (default 12), E2E_MAX_ITERS (default 2000, 0 = unlimited).
@@ -43,7 +43,11 @@ def main():
     from ffn_tpu.utils import labels as labels_lib
 
     size = int(os.environ.get("E2E_SIZE", "250"))
-    lanes = int(os.environ.get("E2E_LANES", "64"))
+    # 48 lanes measured fastest for ~120-object 250^3 volumes (more
+    # lanes mostly idle behind the seed supply: RESULTS.md round 2);
+    # bf16 POM storage is the production default at this shape.
+    lanes = int(os.environ.get("E2E_LANES", "48"))
+    os.environ.setdefault("FFN_TPU_SEED_DTYPE", "bf16")
     dtype = os.environ.get("E2E_DTYPE", "bf16")
     precision = os.environ.get("E2E_PRECISION", "default")
 

@@ -46,7 +46,7 @@ _RUNNING = 1
 
 class _Lane:
     __slots__ = ("state", "start_pos", "queue", "done_cells", "min_pos",
-                 "max_pos", "num_iters", "t_start", "pending")
+                 "max_pos", "num_iters", "t_start", "pending", "spill")
 
     def __init__(self):
         self.state = _IDLE
@@ -58,6 +58,7 @@ class _Lane:
         self.num_iters = 0
         self.t_start = 0.0
         self.pending = []      # candidates currently submitted to device
+        self.spill = []        # hop path: host-side queue-overflow spill
 
 
 class BatchCanvas:
@@ -415,6 +416,7 @@ class BatchCanvas:
         lane.num_iters = 0
         lane.t_start = time.time()
         lane.pending = []
+        lane.spill = []
         self.log_info("lane %d: starting segmentation at %r (zyx)", li,
                       tuple(pos))
         return lane

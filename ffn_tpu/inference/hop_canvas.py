@@ -15,8 +15,15 @@ moves: another lane's claim becomes visible at the next round boundary.
 Contested voxels are still arbitrated at finalization (first to finalize
 wins), exactly as in BatchCanvas.
 
-Restrictor masks are folded into the blocked volume; shift-mask
-restrictors (windowed queries) are not supported here — use BatchCanvas.
+Restrictor masks — including shift-mask restrictors, evaluated densely
+via MovementRestrictor.dense_invalid_mask — are folded into the blocked
+volume as a separate bit, so restrictor skips keep their own counter.
+
+Queue overflow never truncates objects: a lane whose device FIFO cannot
+accept a move's pushes STALLS (hop_engine.STALLED_FULL); the host drains
+the queue (dropping entries that became stale, spilling the newest
+overflow to a host-side list) and resumes the lane. Spilled entries are
+re-queued when the device FIFO empties, preserving overall FIFO order.
 """
 
 from __future__ import annotations
@@ -50,20 +57,11 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
             raise TypeError("HopBatchCanvas requires a HopEngine")
         kwargs.pop("candidates_per_step", None)
         super().__init__(model_info, engine, image, options, **kwargs)
-        if self.restrictor.shift_mask is not None:
-            raise NotImplementedError(
-                "shift-mask restrictors need windowed queries; use "
-                "BatchCanvas for those")
         self.hops = int(hops)
         # The per-lane device buffers replace BatchCanvas's _seeds_dev.
         self._seeds_dev = None
         self._state = engine.init_lane_state(self.lanes, self.shape)
-        blocked = np.zeros(self.shape, np.uint8)
-        if self.restrictor.mask is not None:
-            blocked |= self.restrictor.mask.astype(bool).astype(np.uint8)
-        if np.any(self.segmentation > 0):   # init_segmentation path
-            blocked |= (self.segmentation > 0).astype(np.uint8)
-        self._blocked_dev = engine.put_blocked(blocked)
+        self._blocked_dev = engine.put_blocked(self._build_blocked())
         # Per-lane cumulative device counters at the last ingest (device
         # counters reset on reseed; host counters are monotonic).
         self._skip_base = np.zeros((self.lanes, 3), np.int64)
@@ -74,15 +72,27 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
 
     # -- BatchCanvas hooks ----------------------------------------------------
 
+    def _build_blocked(self) -> np.ndarray:
+        """uint8 bit-code volume: BLOCKED_CLAIMED for segmented voxels,
+        BLOCKED_RESTRICTED where the movement restrictor (mask and/or
+        windowed shift-mask query, evaluated densely) forbids moves.
+        Separate bits keep skip-counter attribution exact on device."""
+        blocked = np.zeros(self.shape, np.uint8)
+        dense = self.restrictor.dense_invalid_mask(self.shape)
+        if dense is not None:
+            blocked |= np.where(dense, hop_engine_lib.BLOCKED_RESTRICTED,
+                                0).astype(np.uint8)
+        if np.any(self.segmentation > 0):   # init_segmentation path
+            blocked |= np.where(self.segmentation > 0,
+                                hop_engine_lib.BLOCKED_CLAIMED,
+                                0).astype(np.uint8)
+        return blocked
+
     def _refresh_blocked(self):
         """Rebuilds the device blocked volume from restrictor + host
         segmentation (needed whenever segmentation changes outside
         _post_segment, e.g. init_segmentation loads)."""
-        blocked = np.zeros(self.shape, np.uint8)
-        if self.restrictor.mask is not None:
-            blocked |= self.restrictor.mask.astype(bool).astype(np.uint8)
-        blocked |= (self.segmentation > 0).astype(np.uint8)
-        self._blocked_dev = self.engine.put_blocked(blocked)
+        self._blocked_dev = self.engine.put_blocked(self._build_blocked())
 
     def init_segmentation_from_volume(self, volume, corner, end,
                                       align_and_crop=None):
@@ -222,9 +232,14 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
                     int(delta[:, 2].sum()))
                 overflowed = int(aux["overflow"].sum())
                 if overflowed:
-                    self.counters["queue-overflow-drops"].IncrementBy(
-                        overflowed)
+                    # The stall-before-full gate makes device-side drops
+                    # impossible; a nonzero counter means an engine bug.
+                    raise AssertionError(
+                        f"device queue dropped {overflowed} pushes "
+                        "despite the stall gate")
 
+                status_dirty = False
+                status_host = None
                 for li, lane in enumerate(self._lanes):
                     if lane.state != _RUNNING:
                         continue
@@ -236,14 +251,108 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
                     status = int(aux["status"][li])
                     if status == hop_engine_lib.RUNNING:
                         continue
+                    if status == hop_engine_lib.STALLED_FULL:
+                        if status_host is None:
+                            status_host = np.array(self._state.status)
+                        self._drain_lane_queue(li, lane)
+                        status_host[li] = hop_engine_lib.RUNNING
+                        status_dirty = True
+                        continue
+                    if status == hop_engine_lib.DONE_EMPTY and lane.spill:
+                        if self._requeue_spill(li, lane):
+                            if status_host is None:
+                                status_host = np.array(
+                                    self._state.status)
+                            status_host[li] = hop_engine_lib.RUNNING
+                            status_dirty = True
+                            continue
                     if status == hop_engine_lib.DONE_WEAK:
                         self.counters["seed_got_too_weak"].Increment()
                     elif status == hop_engine_lib.DONE_CAP:
                         self.counters["iter-cap-hit"].Increment()
                     self._finalize(li, lane,
                                    weak=status == hop_engine_lib.DONE_WEAK)
+                if status_dirty:
+                    import dataclasses as _dc
+                    import jax.numpy as _jnp
+                    self._state = _dc.replace(
+                        self._state, status=_jnp.asarray(status_host))
 
         self.log_info("Segmentation done.")
+
+    # -- queue overflow handling ----------------------------------------------
+
+    def _screen_entries(self, lane, qpos, qscore, done_grid):
+        """Drops queue entries that are already stale (visited cell,
+        out of bounds, claimed, restricted), with the same counter
+        attribution the device pop would apply. Below-threshold entries
+        stay (the seed values live on device). Order is preserved."""
+        _, grid_off = self.engine.grid_geometry(self.shape)
+        deltas = np.maximum(self._deltas_zyx, 1)
+        keep_pos, keep_score = [], []
+        for pos, score in zip(qpos, qscore):
+            cell = tuple((pos - lane.start_pos + deltas // 2) // deltas
+                         + grid_off)
+            if done_grid[cell]:
+                continue   # dedup: uncounted, like the reference
+            p = tuple(int(v) for v in pos)
+            if not self._pos_in_bounds(p) or self.segmentation[p] > 0:
+                self.counters["skip_invalid_pos"].Increment()
+                continue
+            if not self.restrictor.is_valid_pos(p):
+                self.counters["skip_restriced_pos"].Increment()
+                continue
+            keep_pos.append(pos)
+            keep_score.append(score)
+        return keep_pos, keep_score
+
+    def _drain_lane_queue(self, li: int, lane):
+        """Handles a STALLED_FULL lane: screens out stale entries, keeps
+        the oldest 3/4-capacity on device, spills the newest remainder
+        to the host-side lane.spill list (FIFO order preserved)."""
+        qpos, qscore = self.engine.download_lane_queue(self._state, li)
+        done_grid = self.engine.download_lane_done(self._state, li)
+        keep_pos, keep_score = self._screen_entries(lane, qpos, qscore,
+                                                    done_grid)
+        # Refill strictly below the stall threshold (Q - 6) so the lane
+        # always executes at least one move before it can stall again.
+        cap = max(1, self.engine.queue_capacity - 6)
+        device_n = min(len(keep_pos), cap)
+        for pos, score in zip(keep_pos[device_n:], keep_score[device_n:]):
+            lane.spill.append((float(score),
+                               tuple(int(v) for v in pos)))
+        self._state = self.engine.upload_lane_queue(
+            self._state, li,
+            np.array(keep_pos[:device_n], np.int32).reshape(-1, 3),
+            np.array(keep_score[:device_n], np.float32))
+        self.counters["queue-stall-drains"].Increment()
+        self.log_info(
+            "lane %d: queue stall drained (%d entries -> %d on device, "
+            "%d spilled)", li, len(qpos), device_n, len(lane.spill))
+
+    def _requeue_spill(self, li: int, lane) -> bool:
+        """Moves spilled entries back onto the (now empty) device queue.
+        Returns False when every spilled entry turned out stale (the
+        lane is genuinely done)."""
+        entries = lane.spill
+        lane.spill = []
+        qpos = np.array([p for _, p in entries], np.int64).reshape(-1, 3)
+        qscore = np.array([s for s, _ in entries], np.float32)
+        done_grid = self.engine.download_lane_done(self._state, li)
+        keep_pos, keep_score = self._screen_entries(lane, qpos, qscore,
+                                                    done_grid)
+        if not keep_pos:
+            return False
+        cap = max(1, self.engine.queue_capacity - 6)
+        device_n = min(len(keep_pos), cap)
+        lane.spill = [(float(s), tuple(int(v) for v in p))
+                      for p, s in zip(keep_pos[device_n:],
+                                      keep_score[device_n:])]
+        self._state = self.engine.upload_lane_queue(
+            self._state, li,
+            np.array(keep_pos[:device_n], np.int32).reshape(-1, 3),
+            np.array(keep_score[:device_n], np.float32))
+        return True
 
     # -- checkpointing ---------------------------------------------------------
 
@@ -273,6 +382,10 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
                 lanes_state.append({
                     "start_pos": np.asarray(lane.start_pos),
                     "qpos": qpos, "qscore": qscore,
+                    "spill_pos": np.array([p for _, p in lane.spill],
+                                          np.int64).reshape(-1, 3),
+                    "spill_score": np.array(
+                        [s for s, _ in lane.spill], np.float32),
                     "done_grid": self.engine.download_lane_done(
                         self._state, li),
                     "fresh": bool(np.asarray(self._state.fresh[li])),
@@ -336,13 +449,24 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
             maxp = np.asarray(state.maxp).copy()
             iters = np.asarray(state.iters).copy()
             for li, saved in enumerate(data["lanes"]):
-                if saved is None or li >= self.lanes:
+                if saved is None:
+                    continue
+                if li >= self.lanes:
+                    # Restoring into a smaller lane count: the in-flight
+                    # flood fill cannot be adopted, but the object must
+                    # not be lost — its seed re-floods from scratch.
+                    self._deferred.append(tuple(
+                        int(v) for v in saved["start_pos"]))
                     continue
                 if legacy:
                     saved = self._convert_legacy_lane(saved)
                 lane = self._lanes[li]
                 lane.state = _RUNNING
                 lane.start_pos = np.asarray(saved["start_pos"])
+                lane.spill = [
+                    (float(s), tuple(int(v) for v in p))
+                    for p, s in zip(saved.get("spill_pos", ()),
+                                    saved.get("spill_score", ()))]
                 lane.min_pos = np.asarray(saved["min_pos"])
                 lane.max_pos = np.asarray(saved["max_pos"])
                 lane.num_iters = int(saved["num_iters"])

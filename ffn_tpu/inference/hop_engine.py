@@ -26,11 +26,11 @@ so lanes=1 reproduces the serial canvas exactly.
 
 Checks evaluated on device per pop, mirroring BatchCanvas._host_valid +
 the seed-value threshold (ref inference.py:312-346):
-  bounds (image margin), claimed (segmentation > 0), restrictor mask,
-  visited-cell dedup, seed logit >= move_threshold.
-The reference's shift-mask restrictor needs a windowed query and is not
-representable as a per-voxel mask; callers with shift masks use the
-round-based path instead.
+  bounds (image margin), claimed (segmentation > 0), restrictor
+  (mask/shift-mask, precomputed densely — see
+  MovementRestrictor.dense_invalid_mask), visited-cell dedup, seed
+  logit >= move_threshold. Claimed and restricted are separate bits of
+  the `blocked` volume so skip counters attribute exactly.
 """
 
 from __future__ import annotations
@@ -51,6 +51,13 @@ RUNNING = 1
 DONE_EMPTY = 2   # movement queue exhausted -> object complete
 DONE_WEAK = 3    # origin seed fell below the move threshold
 DONE_CAP = 4     # hit max_iters_per_segment
+STALLED_FULL = 5  # queue too full to accept a move's pushes; host drains
+
+# Bit codes of the `blocked` volume (uint8). Separate bits keep the
+# reference's skip-counter attribution (skip_invalid vs
+# skip_restriced_pos) exact on device.
+BLOCKED_CLAIMED = 1     # segmentation > 0 (or init-segmentation load)
+BLOCKED_RESTRICTED = 2  # movement restrictor (mask and/or shift mask)
 
 
 @jax.tree_util.register_dataclass
@@ -124,16 +131,23 @@ class HopEngine(FloodFillEngine):
 
     def update_blocked_region(self, blocked: jax.Array, start_zyx,
                               region: np.ndarray) -> jax.Array:
-        """Writes a sub-box of the blocked volume (after a finalization).
+        """ORs a sub-box into the blocked volume (after a finalization).
 
-        Bucketed to a small set of shapes like lane_seed_region."""
+        Bucketed to a small set of shapes like lane_seed_region. The
+        bucket start is clamped so the slice stays in bounds; the region
+        is embedded at its true offset inside the padded bucket
+        (orig_start - clamped_start), so clamping near the upper faces
+        never displaces the write."""
         shape = blocked.shape
         bucket = tuple(min(s, ((int(v) + 63) // 64) * 64)
                        for v, s in zip(region.shape, shape))
-        start = np.minimum(np.maximum(np.asarray(start_zyx, np.int64), 0),
+        orig_start = np.asarray(start_zyx, np.int64)
+        start = np.minimum(np.maximum(orig_start, 0),
                            np.array(shape) - np.array(bucket))
+        off = orig_start - start
         padded = np.zeros(bucket, np.uint8)
-        padded[tuple(slice(0, s) for s in region.shape)] = region
+        padded[tuple(slice(int(o), int(o) + s)
+                     for o, s in zip(off, region.shape))] = region
 
         cache = getattr(self, "_blocked_fns", None)
         if cache is None:
@@ -216,14 +230,16 @@ class HopEngine(FloodFillEngine):
                 donate_argnums=(2,))
         state, packed = self._run_hops_cache[key](
             image, blocked, state, jnp.asarray(self._opts_host))
+        # int32 end to end: casting cumulative counters through f32 would
+        # lose exactness above 2^24 on long unlimited-iteration lanes.
         packed = np.asarray(packed)
         aux = {
-            "status": packed[:, 0].astype(np.int32),
-            "iters": packed[:, 1].astype(np.int32),
+            "status": packed[:, 0],
+            "iters": packed[:, 1],
             "minp": packed[:, 2:5].astype(np.int64),
             "maxp": packed[:, 5:8].astype(np.int64),
-            "queue_len": packed[:, 8].astype(np.int32),
-            "overflow": packed[:, 9].astype(np.int32),
+            "queue_len": packed[:, 8],
+            "overflow": packed[:, 9],
             "skip_threshold": packed[:, 10].astype(np.int64),
             "skip_invalid": packed[:, 11].astype(np.int64),
             "skip_restricted": packed[:, 12].astype(np.int64),
@@ -256,12 +272,14 @@ class HopEngine(FloodFillEngine):
                 in_bounds = (jnp.all(pos - margin >= 0)
                              & jnp.all(pos + margin < shape))
                 safe = jnp.clip(pos, 0, shape - 1)
-                is_blocked = blocked[safe[0], safe[1], safe[2]] > 0
+                code = blocked[safe[0], safe[1], safe[2]]
+                is_blocked = (code & BLOCKED_CLAIMED) > 0
+                is_restricted = (code & BLOCKED_RESTRICTED) > 0
                 c = cell_of(pos, start)
                 is_done = done[c[0], c[1], c[2]] > 0
                 sv = seed[safe[0], safe[1], safe[2]]
                 weak = ~(sv >= move_t)   # NaN counts as weak
-                return in_bounds, is_blocked, is_done, weak
+                return in_bounds, is_blocked, is_restricted, is_done, weak
 
             def cond(carry):
                 head, found = carry[0], carry[1]
@@ -270,16 +288,20 @@ class HopEngine(FloodFillEngine):
             def body(carry):
                 head, found, pos, st, si, sr = carry
                 cand = qpos[head % Q]
-                in_bounds, is_blocked, is_done, weak = checks(cand)
-                ok = fresh | (in_bounds & ~is_blocked & ~is_done & ~weak)
+                (in_bounds, is_blocked, is_restricted, is_done,
+                 weak) = checks(cand)
+                ok = fresh | (in_bounds & ~is_blocked & ~is_restricted
+                              & ~is_done & ~weak)
                 # Counter attribution mirrors BatchCanvas._host_valid:
                 # dedup discards are uncounted; bounds/claimed ->
-                # skip_invalid; restrictor would be skip_restricted (its
-                # mask is folded into `blocked` here); below-threshold ->
-                # skip_threshold.
+                # skip_invalid; restrictor -> skip_restricted;
+                # below-threshold -> skip_threshold.
                 bad_pos = ~in_bounds | is_blocked
-                st = st + jnp.int32(~ok & ~bad_pos & ~is_done & weak)
-                si = si + jnp.int32(~ok & bad_pos)
+                counted = ~ok & ~is_done
+                st = st + jnp.int32(counted & ~bad_pos & ~is_restricted
+                                    & weak)
+                si = si + jnp.int32(counted & bad_pos)
+                sr = sr + jnp.int32(counted & ~bad_pos & is_restricted)
                 return (head + jnp.int32(~ok), ok,
                         jnp.where(ok, cand, pos), st, si, sr)
 
@@ -303,6 +325,13 @@ class HopEngine(FloodFillEngine):
                 weak = running & ~fresh & ~(sv >= move_t)
                 status = jnp.where(weak, DONE_WEAK, status)
                 running = running & ~weak
+
+                # A move pushes up to 6 candidates; with fewer free slots
+                # the lane STALLS for host draining instead of silently
+                # dropping pushes (no object truncation, ever).
+                full = running & (tail - head > Q - 6)
+                status = jnp.where(full, STALLED_FULL, status)
+                running = running & ~full
 
                 found, pos, head, skip_t, skip_i, skip_r = pop_one(
                     seed, qpos, qscore, head, tail, done, start, fresh,
@@ -413,16 +442,16 @@ class HopEngine(FloodFillEngine):
             ((state, jnp.zeros((state.head.shape[0],), jnp.int32)),
              jnp.int32(0)))
         packed = jnp.concatenate([
-            state.status[:, None].astype(jnp.float32),
-            state.iters[:, None].astype(jnp.float32),
-            state.minp.astype(jnp.float32),
-            state.maxp.astype(jnp.float32),
-            (state.tail - state.head)[:, None].astype(jnp.float32),
-            state.overflow[:, None].astype(jnp.float32),
-            state.skip_threshold[:, None].astype(jnp.float32),
-            state.skip_invalid[:, None].astype(jnp.float32),
-            state.skip_restricted[:, None].astype(jnp.float32),
-            executed[:, None].astype(jnp.float32),
+            state.status[:, None],
+            state.iters[:, None],
+            state.minp,
+            state.maxp,
+            (state.tail - state.head)[:, None],
+            state.overflow[:, None],
+            state.skip_threshold[:, None],
+            state.skip_invalid[:, None],
+            state.skip_restricted[:, None],
+            executed[:, None],
         ], axis=1)
         return state, packed
 

@@ -210,6 +210,55 @@ class MovementRestrictor:
             self._fov_pre_offset = shift_mask_fov.start[::-1]
             self._fov_post_offset = shift_mask_fov.end[::-1] - 1
 
+    def dense_invalid_mask(self, shape_zyx) -> Optional[np.ndarray]:
+        """Evaluates is_valid_pos at EVERY voxel of a (z, y, x) volume;
+        returns a bool array (True = excluded) or None if unrestricted.
+
+        The shift-mask check is a windowed any() query around each
+        position; evaluated densely via a summed-volume table (one O(1)
+        8-term query per voxel, vectorized with per-axis index arrays —
+        the window bounds along each axis depend only on that axis's
+        coordinate). This is what lets device-resident engines fold the
+        whole restrictor into a per-voxel blocked volume (hop path)
+        instead of querying windows per move (ref movement.py:247-336).
+        """
+        if self.mask is None and self.shift_mask is None:
+            return None
+        invalid = np.zeros(tuple(shape_zyx), bool)
+        if self.mask is not None:
+            invalid |= self.mask.astype(bool)
+        if self.shift_mask is not None:
+            from ffn_tpu.training.partitions import summed_volume_table
+            svt = summed_volume_table(self.shift_mask.astype(np.int64))
+            sm_shape = self.shift_mask.shape
+            bounds = []
+            for axis in range(3):
+                pos = np.arange(shape_zyx[axis])
+                lo = np.maximum(pos + self._fov_pre_offset[axis], 0)
+                hi = pos + self._fov_post_offset[axis]
+                if axis > 0:   # y/x live on the scaled shift-mask grid
+                    lo = lo // self._shift_mask_scale
+                    hi = hi // self._shift_mask_scale
+                lo = np.clip(lo, 0, sm_shape[axis])
+                hi = np.clip(hi + 1, 0, sm_shape[axis])
+                bounds.append((lo, np.maximum(hi, lo)))
+            (zl, zh), (yl, yh), (xl, xh) = bounds
+
+            def S(a, b, c):
+                return svt[a[:, None, None], b[None, :, None],
+                           c[None, None, :]]
+
+            count = S(zh, yh, xh)
+            count -= S(zl, yh, xh)
+            count -= S(zh, yl, xh)
+            count -= S(zh, yh, xl)
+            count += S(zl, yl, xh)
+            count += S(zl, yh, xl)
+            count += S(zh, yl, xl)
+            count -= S(zl, yl, xl)
+            invalid |= count > 0
+        return invalid
+
     def is_valid_seed(self, pos) -> bool:
         if self.seed_mask is not None and self.seed_mask[pos]:
             return False

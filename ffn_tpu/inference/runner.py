@@ -256,15 +256,13 @@ class Runner:
             # Batched multi-seed canvas: the reference's
             # concurrent_requests threads become device lanes. The
             # device-resident movement path (HopBatchCanvas) is the
-            # default; shift-mask restrictors need windowed host checks
-            # and use the round-based BatchCanvas instead. hops=0 (via
-            # canvas_defaults or FFN_TPU_HOPS) also forces round-based.
+            # default for every restrictor type (shift masks fold in via
+            # MovementRestrictor.dense_invalid_mask); hops=0 (via
+            # canvas_defaults or FFN_TPU_HOPS) forces round-based.
             merged = {**self.canvas_defaults, **canvas_kwargs}
             hops = int(merged.pop("hops",
                                   os.environ.get("FFN_TPU_HOPS", "16")))
-            use_hops = (hops > 0
-                        and (restrictor is None
-                             or restrictor.shift_mask is None))
+            use_hops = hops > 0
             common = dict(
                 lanes=lanes,
                 counters=subvol_counters,

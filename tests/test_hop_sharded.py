@@ -11,6 +11,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from scipy.special import logit
 
@@ -55,12 +56,12 @@ def test_run_hops_sharded_matches_single_device():
         state, aux = eng.run_hops(img, blocked, state, hops=6)
         return np.asarray(state.seeds), aux
 
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices; see conftest.py")
     eng._run_hops_cache.clear()
     seeds_1, aux_1 = run(shard=False)
     eng._run_hops_cache.clear()
     seeds_8, aux_8 = run(shard=True)
-
-    assert len(jax.devices()) == 8
     np.testing.assert_array_equal(np.isnan(seeds_1), np.isnan(seeds_8))
     np.testing.assert_allclose(np.nan_to_num(seeds_1),
                                np.nan_to_num(seeds_8), rtol=0, atol=1e-6)

@@ -20,16 +20,41 @@ def make_volume(size: int = 250, num_cells: int = 120,
                 interior_value: float = 140.0,
                 texture_sigma: float = 2.5, texture_amp: float = 35.0,
                 noise_sigma: float = 25.0, seed: int = 0,
-                chunk: int = 32):
+                chunk: int = 32, voxel_size=(1.0, 1.0, 1.0),
+                radius_sigma: float = 0.0):
     """Returns (uint8 image (z, y, x), uint32 cell labels).
 
     The texture/contrast defaults were calibrated so the shipped fib25
     ConvStack respects the phantom membranes (predicted POM stays within
     the ground-truth cell for ~90% of voxels at membrane-adjacent FOVs).
+
+    Two knobs select a second morphology family (defaults reproduce the
+    round-2 phantom bit-for-bit):
+      voxel_size   (z, y, x) physical size of one voxel. Cell geometry
+                   is isotropic in PHYSICAL space, so e.g. (2, 1, 1)
+                   yields z-flattened cells and z-thinned membranes in
+                   index space — the anisotropic-ssEM look.
+      radius_sigma lognormal spread of per-cell additive Voronoi
+                   weights (Apollonius diagram): 0 = classic Voronoi
+                   (near-uniform cell sizes); 0.5 gives a broad
+                   cell-size distribution (small cells nested between
+                   large ones).
     """
     rng = np.random.RandomState(seed)
-    sites = rng.rand(num_cells, 3) * size
+    voxel_size = np.asarray(voxel_size, np.float32)
+    sites = rng.rand(num_cells, 3) * size * voxel_size
+    radii = None
+    if radius_sigma > 0:
+        # Additive weights on the scale of the mean inter-site spacing.
+        spacing = (float(np.prod(voxel_size)) * size ** 3
+                   / num_cells) ** (1.0 / 3.0)
+        radii = (0.5 * spacing
+                 * np.exp(rng.randn(num_cells) * radius_sigma
+                          - 0.5 * radius_sigma ** 2)).astype(np.float32)
     tree = cKDTree(sites)
+    # With additive weights the weighted-nearest site is found among the
+    # k Euclidean-nearest (exact for weight spreads small vs spacing).
+    k = 2 if radii is None else min(num_cells, 12)
 
     image = np.empty((size, size, size), np.float32)
     labels = np.empty((size, size, size), np.uint32)
@@ -39,8 +64,13 @@ def make_volume(size: int = 250, num_cells: int = 120,
         z1 = min(size, z0 + chunk)
         zz, yy, xx = np.mgrid[z0:z1, 0:size, 0:size]
         pts = np.stack([zz.ravel(), yy.ravel(), xx.ravel()],
-                       axis=1).astype(np.float32)
-        dists, idx = tree.query(pts, k=2)
+                       axis=1).astype(np.float32) * voxel_size
+        dists, idx = tree.query(pts, k=k)
+        if radii is not None:
+            dists = dists - radii[idx]
+            order = np.argsort(dists, axis=1)
+            dists = np.take_along_axis(dists, order, axis=1)
+            idx = np.take_along_axis(idx, order, axis=1)
         d1, d2 = dists[:, 0], dists[:, 1]
         nearest = idx[:, 0]
 
@@ -67,6 +97,24 @@ def make_volume(size: int = 250, num_cells: int = 120,
     image += rng.randn(*image.shape).astype(np.float32) * noise_sigma
     image = np.clip(image, 0, 255).astype(np.uint8)
     return image, labels
+
+
+def make_volume_b(size: int = 250, seed: int = 0, num_cells=None,
+                  **kwargs):
+    """The second phantom morphology ("B"): anisotropic voxels
+    (z twice as coarse, the ssEM geometry) + a broad lognormal
+    cell-size distribution. Same imaging model as morphology A.
+
+    Default cell count keeps the physical cell density of morphology A
+    (120 cells / 250^3 isotropic voxels), so the index-space volume
+    holds more, flatter, size-varied cells.
+    """
+    if num_cells is None:
+        num_cells = max(8, int(round(2 * 120 * (size / 250.0) ** 3)))
+    kwargs.setdefault("voxel_size", (2.0, 1.0, 1.0))
+    kwargs.setdefault("radius_sigma", 0.5)
+    return make_volume(size=size, seed=seed, num_cells=num_cells,
+                       **kwargs)
 
 
 def object_level_agreement(seg_a: np.ndarray, seg_b: np.ndarray,

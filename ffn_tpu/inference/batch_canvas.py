@@ -106,7 +106,7 @@ class BatchCanvas:
         self.seg_prob = np.zeros(self.shape, np.uint8) \
             if keep_probability_maps else None
 
-        self._image_dev = engine.put_image(self.image)
+        self._image_dev = self._put_image_dev()
         # Subclasses with their own lane-state layout (HopBatchCanvas)
         # suppress this allocation: a transiently-live duplicate of the
         # multi-GB seed batch is the difference between fitting HBM and
@@ -128,6 +128,11 @@ class BatchCanvas:
         self.checkpoint_last = time.time()
 
     # Seed policies access canvas.segmentation/restrictor/margin/shape/image.
+
+    def _put_image_dev(self):
+        """Uploads the subvolume image; multi-subvolume drivers override
+        to place it into a slot of a shared (K, Z, Y, X) stack."""
+        return self.engine.put_image(self.image)
 
     def log_info(self, s, *args):
         logging.info(s, *args)
@@ -326,13 +331,18 @@ class BatchCanvas:
 
     # -- seed scheduling (shared with HopBatchCanvas) --------------------------
 
-    def _assign_fresh_seeds(self, seed_iter, seeds_exhausted: bool):
-        """Picks seeds for idle lanes: retries deferred seeds whose region
-        is now free, then draws from the policy. Returns
-        (assignments [(lane_index, pos_zyx)], seeds_exhausted)."""
-        idle = [li for li, lane in enumerate(self._lanes)
-                if lane.state == _IDLE]
+    def _draw_seeds(self, n: int, seed_iter, seeds_exhausted: bool,
+                    relax_threshold: Optional[int] = None):
+        """Draws up to n fresh, valid seed positions: retries deferred
+        seeds whose region is now free, then draws from the policy.
+        Returns (positions, seeds_exhausted).
+
+        relax_threshold: when n exceeds it, deferred seeds are
+        speculatively flooded even near active lanes (see below); None
+        disables relaxation."""
         available = []
+        if n <= 0:
+            return available, seeds_exhausted
 
         def near_available(cand):
             # Two seeds assigned in the same round must not target the
@@ -343,66 +353,67 @@ class BatchCanvas:
                     return True
             return False
 
-        if idle:
-            boxes = self._active_lane_boxes()
-            # Retry seeds deferred earlier (their region was being flooded
-            # by another lane at the time). One vectorized screen per
-            # round.
-            if self._deferred:
-                deferred = np.array(self._deferred)
-                near = self._near_active(deferred, boxes)
-                still = []
-                for cand, n in zip(self._deferred, near):
-                    if len(available) >= len(idle) or n or \
-                            near_available(cand):
-                        still.append(cand)
-                    elif self._valid_seed_pos(tuple(cand)):
-                        available.append(tuple(cand))
-                self._deferred = still
-            while len(available) < len(idle) and not seeds_exhausted:
-                try:
-                    cand = next(seed_iter)
-                except StopIteration:
-                    seeds_exhausted = True
-                    break
-                if not self._valid_seed_pos(cand):
-                    continue
-                if self._near_active(np.array([cand]), boxes)[0] \
-                        or near_available(cand):
-                    # A running lane (or a seed picked this round) is
-                    # already flooding this region; retry once it
-                    # finalizes (usually rejected as already-segmented
-                    # then — matching serial ordering — but not dropped).
-                    self._deferred.append(cand)
-                    continue
-                available.append(tuple(cand))
-
-            # Relaxed deferral: when over half the lanes sit idle, the
-            # conv slots they'd occupy are free anyway — better to
-            # speculatively flood deferred seeds than run the batch
-            # hollow. A speculative lane whose seed point ends up inside
-            # another object's claim is rejected at finalization (the
-            # serial-ordering outcome), so semantics are unchanged; the
-            # only cost is duplicate compute that idle slots donate.
-            if len(available) < len(idle) and len(idle) > self.lanes // 2:
-                still = []
-                for cand in self._deferred:
-                    cand_t = tuple(int(v) for v in cand)
-                    if len(available) >= len(idle) \
-                            or near_available(cand_t):
-                        still.append(cand)
-                    elif self._valid_seed_pos(cand_t):
-                        available.append(cand_t)
-                        self.counters[
-                            "relaxed-deferral-seeds"].Increment()
-                self._deferred = still
-
-        assignments = []
-        for li in idle:
-            if not available:
+        boxes = self._active_lane_boxes()
+        # Retry seeds deferred earlier (their region was being flooded
+        # by another lane at the time). One vectorized screen per
+        # round.
+        if self._deferred:
+            deferred = np.array(self._deferred)
+            near = self._near_active(deferred, boxes)
+            still = []
+            for cand, nr in zip(self._deferred, near):
+                if len(available) >= n or nr or near_available(cand):
+                    still.append(cand)
+                elif self._valid_seed_pos(tuple(cand)):
+                    available.append(tuple(cand))
+            self._deferred = still
+        while len(available) < n and not seeds_exhausted:
+            try:
+                cand = next(seed_iter)
+            except StopIteration:
+                seeds_exhausted = True
                 break
-            assignments.append((li, available.pop(0)))
-        return assignments, seeds_exhausted
+            if not self._valid_seed_pos(cand):
+                continue
+            if self._near_active(np.array([cand]), boxes)[0] \
+                    or near_available(cand):
+                # A running lane (or a seed picked this round) is
+                # already flooding this region; retry once it
+                # finalizes (usually rejected as already-segmented
+                # then — matching serial ordering — but not dropped).
+                self._deferred.append(cand)
+                continue
+            available.append(tuple(cand))
+
+        # Relaxed deferral: when most lanes would sit idle, the conv
+        # slots they'd occupy are free anyway — better to speculatively
+        # flood deferred seeds than run the batch hollow. A speculative
+        # lane whose seed point ends up inside another object's claim is
+        # rejected at finalization (the serial-ordering outcome), so
+        # semantics are unchanged; the only cost is duplicate compute
+        # that idle slots donate.
+        if len(available) < n and relax_threshold is not None \
+                and n > relax_threshold:
+            still = []
+            for cand in self._deferred:
+                cand_t = tuple(int(v) for v in cand)
+                if len(available) >= n or near_available(cand_t):
+                    still.append(cand)
+                elif self._valid_seed_pos(cand_t):
+                    available.append(cand_t)
+                    self.counters["relaxed-deferral-seeds"].Increment()
+            self._deferred = still
+        return available, seeds_exhausted
+
+    def _assign_fresh_seeds(self, seed_iter, seeds_exhausted: bool):
+        """Picks seeds for idle lanes; returns
+        (assignments [(lane_index, pos_zyx)], seeds_exhausted)."""
+        idle = [li for li, lane in enumerate(self._lanes)
+                if lane.state == _IDLE]
+        available, seeds_exhausted = self._draw_seeds(
+            len(idle), seed_iter, seeds_exhausted,
+            relax_threshold=self.lanes // 2)
+        return list(zip(idle, available)), seeds_exhausted
 
     def _start_lane(self, li: int, pos) -> "_Lane":
         """Initializes the host-side mirror of a fresh lane."""

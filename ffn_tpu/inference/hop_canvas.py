@@ -282,12 +282,17 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
 
     # -- queue overflow handling ----------------------------------------------
 
+    def _grid_shape(self):
+        """Shape the device dedup grid was sized for (multi-subvolume
+        drivers pad all slots to a common shape)."""
+        return self.shape
+
     def _screen_entries(self, lane, qpos, qscore, done_grid):
         """Drops queue entries that are already stale (visited cell,
         out of bounds, claimed, restricted), with the same counter
         attribution the device pop would apply. Below-threshold entries
         stay (the seed values live on device). Order is preserved."""
-        _, grid_off = self.engine.grid_geometry(self.shape)
+        _, grid_off = self.engine.grid_geometry(self._grid_shape())
         deltas = np.maximum(self._deltas_zyx, 1)
         keep_pos, keep_score = [], []
         for pos, score in zip(qpos, qscore):

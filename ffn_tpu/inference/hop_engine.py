@@ -63,8 +63,15 @@ BLOCKED_RESTRICTED = 2  # movement restrictor (mask and/or shift mask)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class LaneState:
-    """Device-resident per-lane flood-fill state (a pytree of arrays)."""
+    """Device-resident per-lane flood-fill state (a pytree of arrays).
+
+    Positions are in the coordinate frame of the lane's own subvolume:
+    `sv` binds each lane to a slot of the (K, Z, Y, X) image/blocked
+    stacks passed to run_hops, so one engine batch advances objects
+    from several subvolumes at once (single-subvolume callers pass 3-D
+    volumes and leave sv at 0)."""
     seeds: jax.Array        # (B, Z, Y, X) f32 POM logits, NaN = unvisited
+    sv: jax.Array           # (B,) int32 subvolume slot of each lane
     qpos: jax.Array         # (B, Q, 3) int32 candidate positions (zyx)
     qscore: jax.Array       # (B, Q) f32 candidate scores
     head: jax.Array         # (B,) int32 ring-buffer read cursor
@@ -114,6 +121,7 @@ class HopEngine(FloodFillEngine):
         return LaneState(
             seeds=jnp.full((B,) + tuple(shape_zyx), jnp.nan,
                            self.seed_dtype),
+            sv=z(B),
             qpos=jnp.zeros((B, Q, 3), jnp.int32),
             qscore=jnp.zeros((B, Q), jnp.float32),
             head=z(B), tail=z(B),
@@ -129,16 +137,49 @@ class HopEngine(FloodFillEngine):
         """Uploads the claimed/restricted uint8 volume (1 = excluded)."""
         return jnp.asarray(np.ascontiguousarray(blocked, np.uint8))
 
+    def put_stack(self, arrays, shape_zyx, dtype, fill=0.0) -> jax.Array:
+        """Uploads a (K, Z, Y, X) stack of subvolumes; entries smaller
+        than shape_zyx are padded with `fill` (multi-subvolume drivers
+        forbid moves into the padding via run_hops' `shapes`)."""
+        K = len(arrays)
+        stack = np.full((K,) + tuple(shape_zyx), fill, dtype)
+        for k, a in enumerate(arrays):
+            if a is None:
+                continue
+            stack[k][tuple(slice(0, s) for s in a.shape)] = a
+        return jnp.asarray(stack)
+
+    def update_stack_slot(self, stack: jax.Array, slot: int,
+                          volume: np.ndarray, fill=0.0) -> jax.Array:
+        """Replaces one slot of a (K, Z, Y, X) stack in place (donated),
+        padding the volume to the slot shape."""
+        shape = stack.shape[1:]
+        padded = np.full(shape, fill, np.dtype(stack.dtype))
+        padded[tuple(slice(0, s) for s in volume.shape)] = volume
+        cache = getattr(self, "_stack_fns", None)
+        if cache is None:
+            cache = self._stack_fns = {}
+        key = (tuple(stack.shape), str(stack.dtype))
+        if key not in cache:
+            def fn(stack, slot, patch):
+                return jax.lax.dynamic_update_slice(
+                    stack, patch[None], (slot,) + (0,) * 3)
+
+            cache[key] = jax.jit(fn, donate_argnums=(0,))
+        return cache[key](stack, jnp.int32(slot), jnp.asarray(padded))
+
     def update_blocked_region(self, blocked: jax.Array, start_zyx,
-                              region: np.ndarray) -> jax.Array:
+                              region: np.ndarray,
+                              slot: int = 0) -> jax.Array:
         """ORs a sub-box into the blocked volume (after a finalization).
 
-        Bucketed to a small set of shapes like lane_seed_region. The
-        bucket start is clamped so the slice stays in bounds; the region
-        is embedded at its true offset inside the padded bucket
-        (orig_start - clamped_start), so clamping near the upper faces
-        never displaces the write."""
-        shape = blocked.shape
+        Accepts a (Z, Y, X) volume or a (K, Z, Y, X) stack (`slot`
+        selects the subvolume). Bucketed to a small set of shapes like
+        lane_seed_region. The bucket start is clamped so the slice stays
+        in bounds; the region is embedded at its true offset inside the
+        padded bucket (orig_start - clamped_start), so clamping near the
+        upper faces never displaces the write."""
+        shape = blocked.shape[-3:]
         bucket = tuple(min(s, ((int(v) + 63) // 64) * 64)
                        for v, s in zip(region.shape, shape))
         orig_start = np.asarray(start_zyx, np.int64)
@@ -148,6 +189,10 @@ class HopEngine(FloodFillEngine):
         padded = np.zeros(bucket, np.uint8)
         padded[tuple(slice(int(o), int(o) + s)
                      for o, s in zip(off, region.shape))] = region
+        if blocked.ndim == 4:
+            start = np.concatenate([[int(slot)], start])
+            bucket = (1,) + bucket
+            padded = padded[None]
 
         cache = getattr(self, "_blocked_fns", None)
         if cache is None:
@@ -165,17 +210,26 @@ class HopEngine(FloodFillEngine):
     # -- reseed --------------------------------------------------------------
 
     def reseed_lanes(self, state: LaneState, reset_mask: np.ndarray,
-                     pos: np.ndarray, init_activation: float) -> LaneState:
+                     pos: np.ndarray, init_activation: float,
+                     sv: Optional[np.ndarray] = None) -> LaneState:
         """Resets the selected lanes to a fresh segment at pos: clears the
         seed buffer and dedup grid, plants the initial activation, and
-        queues the origin as the (unconditionally accepted) first move."""
+        queues the origin as the (unconditionally accepted) first move.
+        sv rebinds reset lanes to a subvolume slot (multi-subvolume
+        drivers); None keeps each lane's current binding."""
+        if sv is None:
+            # Host copy: state is donated, so aliasing state.sv as a
+            # second argument would reuse a donated buffer.
+            sv = np.asarray(state.sv)
         return self._reseed(state, jnp.asarray(reset_mask, bool),
                             jnp.asarray(pos, jnp.int32),
                             jnp.float32(init_activation),
-                            jnp.asarray(self._opts_host))
+                            jnp.asarray(self._opts_host),
+                            jnp.asarray(sv, jnp.int32))
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-    def _reseed(self, state: LaneState, reset, pos, init_activation, opts):
+    def _reseed(self, state: LaneState, reset, pos, init_activation, opts,
+                sv):
         def one_seed(seed, r, p):
             # Scalar-broadcast blank (NOT a full-size cleared buffer +
             # where: that materializes a seed-sized NaN intermediate,
@@ -200,7 +254,7 @@ class HopEngine(FloodFillEngine):
         sel3 = lambda a, b: jnp.where(reset[:, None], a, b)
         zeros = jnp.zeros_like(state.head)
         return LaneState(
-            seeds=seeds, qpos=qpos, qscore=qscore,
+            seeds=seeds, sv=sel(sv, state.sv), qpos=qpos, qscore=qscore,
             head=sel(zeros, state.head), tail=sel(zeros + 1, state.tail),
             done=done, start=sel3(pos, state.start),
             minp=sel3(pos, state.minp), maxp=sel3(pos, state.maxp),
@@ -215,13 +269,24 @@ class HopEngine(FloodFillEngine):
     # -- the hop program -----------------------------------------------------
 
     def run_hops(self, image: jax.Array, blocked: jax.Array,
-                 state: LaneState, hops: int, max_iters: int = 0):
+                 state: LaneState, hops: int, max_iters: int = 0,
+                 shapes: Optional[np.ndarray] = None):
         """Executes up to `hops` FFN moves per running lane on device.
+
+        image/blocked are (Z, Y, X) volumes or (K, Z, Y, X) stacks of K
+        subvolumes (lanes bind to slots via state.sv). `shapes` gives
+        each slot's ACTUAL (z, y, x) extent for the bounds check — edge
+        subvolumes smaller than the stack shape are padded, and moves
+        must never enter the padding; defaults to the full stack shape.
 
         Returns (state, aux) where aux is a dict of small host arrays:
         status, iters, minp, maxp, queue_len, overflow and the three
         skip counters.
         """
+        if shapes is None:
+            K = image.shape[0] if image.ndim == 4 else 1
+            shapes = np.tile(np.array(state.seeds.shape[1:], np.int32),
+                             (K, 1))
         key = (hops, int(max_iters))
         if key not in self._run_hops_cache:
             self._run_hops_cache[key] = jax.jit(
@@ -229,7 +294,8 @@ class HopEngine(FloodFillEngine):
                                   max_iters=int(max_iters)),
                 donate_argnums=(2,))
         state, packed = self._run_hops_cache[key](
-            image, blocked, state, jnp.asarray(self._opts_host))
+            image, blocked, state, jnp.asarray(self._opts_host),
+            jnp.asarray(shapes, jnp.int32))
         # int32 end to end: casting cumulative counters through f32 would
         # lose exactness above 2^24 on long unlimited-iteration lanes.
         packed = np.asarray(packed)
@@ -247,11 +313,14 @@ class HopEngine(FloodFillEngine):
         }
         return state, aux
 
-    def _run_hops_impl(self, image, blocked, state: LaneState, opts, *,
-                       hops, max_iters):
+    def _run_hops_impl(self, image, blocked, state: LaneState, opts,
+                       shapes, *, hops, max_iters):
+        if image.ndim == 3:   # single-subvolume callers pass 3-D volumes
+            image = image[None]
+            blocked = blocked[None]
         Q = self.queue_capacity
         move_t = opts[1]
-        shape = jnp.array(state.seeds.shape[1:], jnp.int32)
+        pad_shape = jnp.array(state.seeds.shape[1:], jnp.int32)
         margin = jnp.array([s // 2 for s in self._image_size], jnp.int32)
         deltas = jnp.maximum(
             jnp.array(self.info.deltas[::-1], jnp.int32), 1)
@@ -261,8 +330,8 @@ class HopEngine(FloodFillEngine):
         def cell_of(pos, start):
             return (pos - start + deltas // 2) // deltas + grid_off
 
-        def pop_one(seed, qpos, qscore, head, tail, done, start, fresh,
-                    running, skip_t, skip_i, skip_r):
+        def pop_one(seed, sv, shape, qpos, qscore, head, tail, done,
+                    start, fresh, running, skip_t, skip_i, skip_r):
             """Advances head until a valid candidate; returns
             (found, pos, head, counters...). No-op for non-running
             lanes (their queue state must stay intact for
@@ -271,14 +340,14 @@ class HopEngine(FloodFillEngine):
             def checks(pos):
                 in_bounds = (jnp.all(pos - margin >= 0)
                              & jnp.all(pos + margin < shape))
-                safe = jnp.clip(pos, 0, shape - 1)
-                code = blocked[safe[0], safe[1], safe[2]]
+                safe = jnp.clip(pos, 0, pad_shape - 1)
+                code = blocked[sv, safe[0], safe[1], safe[2]]
                 is_blocked = (code & BLOCKED_CLAIMED) > 0
                 is_restricted = (code & BLOCKED_RESTRICTED) > 0
                 c = cell_of(pos, start)
                 is_done = done[c[0], c[1], c[2]] > 0
-                sv = seed[safe[0], safe[1], safe[2]]
-                weak = ~(sv >= move_t)   # NaN counts as weak
+                seed_val = seed[safe[0], safe[1], safe[2]]
+                weak = ~(seed_val >= move_t)   # NaN counts as weak
                 return in_bounds, is_blocked, is_restricted, is_done, weak
 
             def cond(carry):
@@ -313,16 +382,17 @@ class HopEngine(FloodFillEngine):
 
         def hop(carry):
             state, executed_total = carry
-            def lane_pre(seed, qpos, qscore, head, tail, done, start,
-                         minp, maxp, iters, status, fresh, skip_t, skip_i,
-                         skip_r):
+            lane_shapes = shapes[state.sv]   # (B, 3) actual extents
+            def lane_pre(seed, sv, shape, qpos, qscore, head, tail, done,
+                         start, minp, maxp, iters, status, fresh, skip_t,
+                         skip_i, skip_r):
                 running = status == RUNNING
                 capped = running & (max_iters > 0) & (iters >= max_iters)
                 status = jnp.where(capped, DONE_CAP, status)
                 running = running & ~capped
 
-                sv = seed[start[0], start[1], start[2]]
-                weak = running & ~fresh & ~(sv >= move_t)
+                seed_val = seed[start[0], start[1], start[2]]
+                weak = running & ~fresh & ~(seed_val >= move_t)
                 status = jnp.where(weak, DONE_WEAK, status)
                 running = running & ~weak
 
@@ -334,8 +404,8 @@ class HopEngine(FloodFillEngine):
                 running = running & ~full
 
                 found, pos, head, skip_t, skip_i, skip_r = pop_one(
-                    seed, qpos, qscore, head, tail, done, start, fresh,
-                    running, skip_t, skip_i, skip_r)
+                    seed, sv, shape, qpos, qscore, head, tail, done,
+                    start, fresh, running, skip_t, skip_i, skip_r)
                 found = found & running
                 status = jnp.where(running & ~found, DONE_EMPTY, status)
                 # Clamp so the dummy slice for idle lanes is in-bounds.
@@ -343,20 +413,22 @@ class HopEngine(FloodFillEngine):
                 return pos, found, head, status, skip_t, skip_i, skip_r
 
             pos, execute, head, status, skip_t, skip_i, skip_r = jax.vmap(
-                lane_pre)(state.seeds, state.qpos, state.qscore,
+                lane_pre)(state.seeds, state.sv, lane_shapes,
+                          state.qpos, state.qscore,
                           state.head, state.tail, state.done, state.start,
                           state.minp, state.maxp, state.iters,
                           state.status, state.fresh,
                           state.skip_threshold, state.skip_invalid,
                           state.skip_restricted)
 
-            def lane_exec(seed, done, start, minp, maxp, iters, pos,
+            def lane_exec(seed, sv, done, start, minp, maxp, iters, pos,
                           execute):
                 seed_off = jnp.array([s // 2 for s in self._seed_size],
                                      jnp.int32)
                 seed_start = pos - seed_off
                 image_patch = jax.lax.dynamic_slice(
-                    image, pos - margin, self._image_size)
+                    image, jnp.concatenate([sv[None], pos - margin]),
+                    (1,) + tuple(self._image_size))[0]
                 seed_patch = jax.lax.dynamic_slice(seed, seed_start,
                                                    self._seed_size)
                 logits = self._apply_model(image_patch, seed_patch, opts)
@@ -396,8 +468,8 @@ class HopEngine(FloodFillEngine):
 
             (seeds, done, minp, maxp, iters, scores6, offsets6, keep6) = \
                 jax.vmap(lane_exec)(
-                    state.seeds, state.done, state.start, state.minp,
-                    state.maxp, state.iters, pos, execute)
+                    state.seeds, state.sv, state.done, state.start,
+                    state.minp, state.maxp, state.iters, pos, execute)
             qpos, qscore = state.qpos, state.qscore
             tail, overflow = state.tail, state.overflow
 
@@ -417,9 +489,9 @@ class HopEngine(FloodFillEngine):
                 overflow = overflow + (keep6[:, k] & full).astype(jnp.int32)
 
             new_state = LaneState(
-                seeds=seeds, qpos=qpos, qscore=qscore, head=head,
-                tail=tail, done=done, start=state.start, minp=minp,
-                maxp=maxp, iters=iters, status=status,
+                seeds=seeds, sv=state.sv, qpos=qpos, qscore=qscore,
+                head=head, tail=tail, done=done, start=state.start,
+                minp=minp, maxp=maxp, iters=iters, status=status,
                 fresh=state.fresh & ~execute,
                 overflow=overflow, skip_threshold=skip_t,
                 skip_invalid=skip_i, skip_restricted=skip_r)

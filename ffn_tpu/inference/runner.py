@@ -202,15 +202,16 @@ class Runner:
             })
         return movement.MovementRestrictor(**kwargs) if kwargs else None
 
-    def make_canvas(self, corner: Tuple3i, subvol_size: Tuple3i,
-                    force_serial: bool = False, **canvas_kwargs):
-        """Builds the Canvas for a subvolume; returns (canvas, alignment).
+    def load_subvolume_inputs(self, corner: Tuple3i, subvol_size: Tuple3i,
+                              subvol_counters=None):
+        """Fetches + aligns + normalizes one subvolume's inputs.
 
-        force_serial picks the serial Canvas even when concurrent_requests
-        asks for batched lanes (used by resegmentation, which needs
-        keep_history and exact serial semantics).
-        """
-        subvol_counters = self.counters.get_sub_counters()
+        Returns None when the subvolume is fully masked, else a dict with
+        image (normalized f32), restrictor, alignment, dst_corner,
+        src_corner, src_bbox, align_and_crop. Shared by make_canvas and
+        the multi-subvolume driver (parallel.multi_canvas)."""
+        if subvol_counters is None:
+            subvol_counters = self.counters.get_sub_counters()
         with timer_counter(subvol_counters, "load-image"):
             logging.info("Process subvolume: %r", corner)
             alignment = self._aligner.generate_alignment(corner, subvol_size)
@@ -244,10 +245,35 @@ class Runner:
         restrictor = self.make_restrictor(dst_corner, dst_size, image,
                                           alignment)
         if restrictor == self.ALL_MASKED:
-            return None, None
+            return None
 
         image = ((image.astype(np.float32) - self.request.image_mean)
                  / self.request.image_stddev)
+        return dict(image=image, restrictor=restrictor,
+                    alignment=alignment, dst_corner=dst_corner,
+                    src_corner=src_corner, src_bbox=src_bbox,
+                    align_and_crop=align_and_crop,
+                    counters=subvol_counters)
+
+    def make_canvas(self, corner: Tuple3i, subvol_size: Tuple3i,
+                    force_serial: bool = False, **canvas_kwargs):
+        """Builds the Canvas for a subvolume; returns (canvas, alignment).
+
+        force_serial picks the serial Canvas even when concurrent_requests
+        asks for batched lanes (used by resegmentation, which needs
+        keep_history and exact serial semantics).
+        """
+        inputs = self.load_subvolume_inputs(corner, subvol_size)
+        if inputs is None:
+            return None, None
+        image = inputs["image"]
+        restrictor = inputs["restrictor"]
+        alignment = inputs["alignment"]
+        dst_corner = inputs["dst_corner"]
+        src_corner = inputs["src_corner"]
+        src_bbox = inputs["src_bbox"]
+        align_and_crop = inputs["align_and_crop"]
+        subvol_counters = inputs["counters"]
 
         lanes = max(1, self.request.concurrent_requests)
         if force_serial:

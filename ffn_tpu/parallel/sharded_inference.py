@@ -138,6 +138,59 @@ class ShardedInferenceDriver:
                          index, self.calc.num_sub_boxes())
         return processed
 
+    def run_worker_fused(self, worker_id: int = 0, num_workers: int = 1,
+                         runner: Optional[runner_lib.Runner] = None,
+                         lanes: int = 64, slots: int = 4, hops: int = 16,
+                         keep_probability_maps: bool = False) -> int:
+        """Processes this worker's subvolumes CONCURRENTLY in one engine
+        batch (parallel.multi_canvas): lanes starved by one subvolume's
+        seed supply refill from another, so the conv batch stays full on
+        object-sparse volumes. Outputs and idempotency semantics are
+        identical to run_worker. Returns the number of subvolumes saved.
+        """
+        import functools
+
+        from ffn_tpu.parallel import multi_canvas
+
+        if runner is None:
+            runner = runner_lib.Runner()
+            runner.start(self.request)
+
+        tasks = []
+        corner_to_index = {}
+        for index in range(self.calc.num_sub_boxes()):
+            if index % num_workers != worker_id:
+                continue
+            box = self.calc.index_to_sub_box(index)
+            corner = tuple(int(v) for v in box.start[::-1])
+            size = tuple(int(v) for v in box.size[::-1])
+            tasks.append((corner, size))
+            corner_to_index[corner] = index
+        if not tasks:
+            return 0
+
+        if self.seed_handoff:
+            # Per-slot handoff policies (run_worker's request mutation
+            # can't serve concurrent slots): neighbors that finished —
+            # in this run or a previous one — donate their origins.
+            def get_seed_policy(corner, subvol_size):
+                kwargs = (json.loads(runner.request.seed_policy_args)
+                          if runner.request.seed_policy_args else {})
+                kwargs["segmentation_dir"] = \
+                    runner.request.segmentation_output_dir
+                kwargs["neighbor_corners"] = self._neighbor_corners(
+                    corner_to_index[tuple(int(v) for v in corner)])
+                return functools.partial(
+                    seed_lib.PolicyNeighborOriginsThenPeaks,
+                    corner=corner, subvol_size=subvol_size, **kwargs)
+
+            runner.get_seed_policy = get_seed_policy
+
+        driver = multi_canvas.MultiSubvolumeHopDriver(
+            runner, tasks, lanes=lanes, slots=slots, hops=hops,
+            keep_probability_maps=keep_probability_maps)
+        return driver.run()
+
     def _install_handoff_policy(self, runner, index):
         neighbor_corners = self._neighbor_corners(index)
         args = (json.loads(runner.request.seed_policy_args)

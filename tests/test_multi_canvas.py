@@ -1,0 +1,117 @@
+"""Cross-subvolume lane filling (parallel.multi_canvas): one engine
+batch advances objects from several subvolumes at once."""
+
+import h5py
+import numpy as np
+from google.protobuf import text_format
+
+from ffn_tpu.inference import runner as runner_lib
+from ffn_tpu.inference import storage
+from ffn_tpu.parallel import multi_canvas, sharded_inference
+from ffn_tpu.proto import inference_pb2
+from ffn_tpu.utils import bounding_box
+
+from test_sharded_inference import make_setup
+
+
+def _fg(seg):
+    return np.maximum(seg, 0) > 0
+
+
+def test_fused_driver_matches_independent_runs(tmp_path):
+    """Each subvolume's fused output must cover the same voxels with the
+    same number of objects as an independent single-subvolume hop run."""
+    request, outer = make_setup(tmp_path)
+    request.concurrent_requests = 8
+    calc = bounding_box.OrderlyOverlappingCalculator(
+        outer, [40, 36, 36], [8, 0, 0])
+    tasks = []
+    for i in range(calc.num_sub_boxes()):
+        box = calc.index_to_sub_box(i)
+        tasks.append((tuple(box.start[::-1]), tuple(box.size[::-1])))
+    assert len(tasks) == 2
+
+    runner = runner_lib.Runner()
+    runner.start(request)
+    driver = multi_canvas.MultiSubvolumeHopDriver(
+        runner, tasks, lanes=8, slots=2, hops=4)
+    assert driver.run() == 2
+
+    # Independent per-subvolume runs into a separate output dir.
+    request2 = inference_pb2.InferenceRequest()
+    request2.CopyFrom(request)
+    request2.segmentation_output_dir = str(tmp_path / "seg_ref")
+    runner2 = runner_lib.Runner()
+    runner2.start(request2)
+    for corner, size in tasks:
+        runner2.run(corner, size, keep_probability_maps=False)
+
+    for corner, _ in tasks:
+        seg_fused, org_fused = storage.load_segmentation(
+            request.segmentation_output_dir, corner, split_cc=False)
+        seg_ref, org_ref = storage.load_segmentation(
+            request2.segmentation_output_dir, corner, split_cc=False)
+        # The fused driver schedules lanes across subvolumes, so the
+        # deferral order — and with it WHICH of an object's seeds
+        # becomes its flood origin — can differ from the standalone run.
+        # A different origin shifts moving-FOV reachability at the
+        # margins by a few voxels (verified: the mismatches here are
+        # margin voxels of objects whose recorded origins differ, the
+        # same deviation class as lanes=4 vs lanes=8 on one canvas).
+        # Object identity and coverage must still agree closely.
+        a, b = _fg(seg_fused), _fg(seg_ref)
+        mismatch = (a != b).sum() / max(a.sum(), 1)
+        assert mismatch < 0.02, mismatch
+        assert len(org_fused) == len(org_ref)
+
+
+def test_fused_driver_slot_reload(tmp_path):
+    """More subvolumes than slots: finished slots reload from the task
+    queue and everything still gets segmented."""
+    request, outer = make_setup(tmp_path)
+    request.concurrent_requests = 6
+    calc = bounding_box.OrderlyOverlappingCalculator(
+        outer, [24, 36, 36], [8, 0, 0])
+    tasks = [
+        (tuple(calc.index_to_sub_box(i).start[::-1]),
+         tuple(calc.index_to_sub_box(i).size[::-1]))
+        for i in range(calc.num_sub_boxes())]
+    assert len(tasks) >= 3
+
+    runner = runner_lib.Runner()
+    runner.start(request)
+    driver = multi_canvas.MultiSubvolumeHopDriver(
+        runner, tasks, lanes=6, slots=2, hops=4)
+    assert driver.run() == len(tasks)
+    for corner, _ in tasks:
+        seg, _ = storage.load_segmentation(
+            request.segmentation_output_dir, corner, split_cc=False)
+        assert seg.shape is not None
+
+    # Idempotency: a second pass saves nothing.
+    driver2 = multi_canvas.MultiSubvolumeHopDriver(
+        runner, tasks, lanes=6, slots=2, hops=4)
+    assert driver2.run() == 0
+
+
+def test_fused_worker_with_stitching(tmp_path):
+    """run_worker_fused plugs into the sharded pipeline: outputs stitch
+    into one global id space with objects joined across the split."""
+    request, outer = make_setup(tmp_path)
+    request.concurrent_requests = 8
+    driver = sharded_inference.ShardedInferenceDriver(
+        request, outer, subvol_size_xyz=(40, 36, 36),
+        overlap_xyz=(8, 0, 0), seed_handoff=True)
+    assert driver.run_worker_fused(lanes=8, slots=2, hops=4) == 2
+    assert driver.pending_indices() == []
+
+    stitcher = driver.stitch(min_overlap_fraction=0.5)
+    out = stitcher.assemble(None)
+    assert out.shape == (36, 36, 72)
+    bar_left = out[18, 18, 12]
+    bar_right = out[18, 18, 60]
+    assert bar_left != 0 and bar_left == bar_right
+    cube_l = out[8, 8, 8]
+    cube_r = out[28, 28, 64]
+    assert cube_l != 0 and cube_r != 0
+    assert len({int(bar_left), int(cube_l), int(cube_r)}) == 3

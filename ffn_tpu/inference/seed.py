@@ -1,18 +1,26 @@
 """Seed policies: iterators over (z, y, x) starting points for flood fill.
 
-Semantics parity with the reference's ffn/inference/seed.py (all 13
-policies). Differences by design:
-  - EDT comes from ffn_tpu.ops.edt (bundled C++/scipy) instead of the `edt`
-    pip package; peak finding from ffn_tpu.ops.peaks instead of skimage.
-  - PolicyInvertOrigins sorts dict items correctly (the reference's
-    seed.py:467 calls .sort() on dict_items — broken under py3).
-Deterministic tie-breaking noise matches the reference exactly
-(RandomState(42) * 1e-4) so seed ordering is reproducible.
+Covers every policy of the reference's ffn/inference/seed.py, with the
+coordinate generation vectorized (numpy lattices / batched slice sweeps
+instead of per-voxel Python loops) — seed enumeration runs once per
+subvolume on the host, but at pod scale that host time is part of the
+per-subvolume budget.
+
+Behavioral contracts kept exactly (seed ORDER determines segmentation
+results, SURVEY §7):
+  - PolicyPeaks' operation sequence is bit-exact vs the reference
+    (Sobel -> adaptive threshold -> anisotropic EDT -> noisy
+    peak_local_max -> ascending zyx), with EDT from ffn_tpu.ops.edt and
+    peak finding from ffn_tpu.ops.peaks; the deterministic tie-breaking
+    noise (RandomState(42) * 1e-4) matches the reference.
+  - Lattice and sweep orders reproduce the reference's loop nesting
+    (offset-major, then z, y, x).
+  - PolicyInvertOrigins sorts correctly (the reference's seed.py:467
+    calls .sort() on dict_items — broken under py3).
 """
 
 from __future__ import annotations
 
-import itertools
 import threading
 import weakref
 from typing import Any, Sequence
@@ -26,9 +34,54 @@ from ffn_tpu.ops import edt as edt_lib
 from ffn_tpu.ops import image as image_ops
 from ffn_tpu.ops import peaks as peaks_lib
 
+_EMPTY = np.zeros((0, 3), np.int64)
+
+
+def _sorted_zyx(coords, reverse: bool = False) -> np.ndarray:
+    """Lexicographic (z, y, x) ordering — the canonical seed order."""
+    coords = np.asarray(coords)
+    if coords.size == 0:
+        return _EMPTY
+    order = np.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
+    if reverse:
+        order = order[::-1]
+    return coords[order]
+
+
+def _lattice(shape_zyx, step: int, offsets, dense_z: bool) -> np.ndarray:
+    """Offset-major (z, y, x)-nested lattice points, vectorized."""
+    blocks = []
+    for offset in offsets:
+        zs = np.arange(0, shape_zyx[0], 1) if dense_z else \
+            np.arange(offset, shape_zyx[0], step)
+        ys = np.arange(offset, shape_zyx[1], step)
+        xs = np.arange(offset, shape_zyx[2], step)
+        grid = np.stack(np.meshgrid(zs, ys, xs, indexing="ij"), axis=-1)
+        blocks.append(grid.reshape(-1, 3))
+    return np.concatenate(blocks) if blocks else _EMPTY
+
+
+def _stack_slicewise(rows_per_z) -> np.ndarray:
+    """Concatenates per-z-slice (y, x) rows into (N, 3) zyx coords."""
+    out = []
+    for z, yx in rows_per_z:
+        yx = np.asarray(yx).reshape(-1, 2)
+        if not len(yx):
+            continue
+        out.append(np.concatenate(
+            [np.full((len(yx), 1), z, np.int64), yx], axis=1))
+    return np.concatenate(out) if out else _EMPTY
+
 
 class BaseSeedPolicy:
-    """Base class for seed policies."""
+    """Iterator protocol shared by all policies.
+
+    Subclasses implement init_coords() to fill self.coords with (N, 3)
+    zyx points; the base class materializes them lazily on first
+    iteration, drops points whose FOV would cross the subvolume border,
+    and supports checkpointing through get_state/set_state (a cursor
+    into the materialized array).
+    """
 
     def __init__(self, canvas, **kwargs):
         logging.info("Deleting unused BaseSeedPolicy kwargs: %s", kwargs)
@@ -40,34 +93,34 @@ class BaseSeedPolicy:
     def init_coords(self):
         raise NotImplementedError()
 
+    def _materialize(self):
+        self.init_coords()
+        if self.coords is None or not self.coords.size:
+            self.coords = _EMPTY
+            return
+        margin = np.asarray(self.canvas.margin)
+        shape = np.asarray(self.canvas.shape)
+        keep = np.all((self.coords >= margin)
+                      & (self.coords + margin < shape), axis=1)
+        self.coords = self.coords[keep]
+
     def __iter__(self):
         return self
 
     def __next__(self):
-        """Next seed point as (z, y, x); filters points too close to the
-        image border."""
+        """Next seed point as a (z, y, x) int tuple."""
         if self.coords is None:
-            self.init_coords()
-            if self.coords is None:
-                raise StopIteration()
-            if self.coords.size:
-                margin = np.array(self.canvas.margin)[np.newaxis, ...]
-                self.coords = self.coords[np.all(
-                    (self.coords - margin >= 0) &
-                    (self.coords + margin < self.canvas.shape), axis=1), :]
-
-        while self.idx < self.coords.shape[0]:
-            curr = self.coords[self.idx, :]
-            self.idx += 1
-            return tuple(int(v) for v in curr)
-        raise StopIteration()
+            self._materialize()
+        if self.idx >= len(self.coords):
+            raise StopIteration()
+        pos = self.coords[self.idx]
+        self.idx += 1
+        return tuple(int(v) for v in pos)
 
     def get_state(self, previous=False):
-        """Pickleable state; `previous` rewinds one seed for in-progress
-        segment checkpointing."""
-        if previous:
-            return self.coords, max(0, self.idx - 1)
-        return self.coords, self.idx
+        """Pickleable (coords, cursor); `previous` rewinds one seed for
+        in-progress segment checkpointing."""
+        return self.coords, max(0, self.idx - 1) if previous else self.idx
 
     def set_state(self, state):
         self.coords, self.idx = state
@@ -75,11 +128,11 @@ class BaseSeedPolicy:
     def get_exclusion_mask(self):
         """Voxels invalid for seeding (already segmented or masked)."""
         mask = self.canvas.segmentation > 0
-        if self.canvas.restrictor is not None:
-            if self.canvas.restrictor.mask is not None:
-                mask |= self.canvas.restrictor.mask
-            if self.canvas.restrictor.seed_mask is not None:
-                mask |= self.canvas.restrictor.seed_mask
+        restrictor = self.canvas.restrictor
+        if restrictor is not None:
+            for extra in (restrictor.mask, restrictor.seed_mask):
+                if extra is not None:
+                    mask |= extra
         return mask
 
 
@@ -89,8 +142,10 @@ _find_peaks = peaks_lib.find_peaks_with_noise
 class PolicyPeaks(BaseSeedPolicy):
     """Peaks of the distance transform of adaptive-thresholded edges.
 
-    3d Sobel -> Gaussian adaptive threshold -> anisotropic EDT ->
-    peak_local_max, ascending zyx order (seed.py:142-199).
+    The flagship policy. Operation sequence pinned to the reference
+    (seed.py:142-199): 3d Sobel -> Gaussian adaptive threshold ->
+    anisotropic EDT of the non-edge space -> peak_local_max with
+    deterministic tie-breaking noise -> ascending zyx.
     """
 
     # Bound concurrent peak computations (temporary memory spike).
@@ -104,11 +159,11 @@ class PolicyPeaks(BaseSeedPolicy):
         mask = self.get_exclusion_mask()
 
         # Prevent border effects in the distance transform.
-        if self.canvas.restrictor is not None:
-            if self.canvas.restrictor.mask is not None:
-                filt_edges[self.canvas.restrictor.mask] = 1
-            if self.canvas.restrictor.seed_mask is not None:
-                filt_edges[self.canvas.restrictor.seed_mask] = 1
+        restrictor = self.canvas.restrictor
+        if restrictor is not None:
+            for extra in (restrictor.mask, restrictor.seed_mask):
+                if extra is not None:
+                    filt_edges[extra] = 1
 
         if np.all(filt_edges == 1):
             return
@@ -124,13 +179,13 @@ class PolicyPeaks(BaseSeedPolicy):
 
             idxs = _find_peaks(dt, min_distance=3, threshold_abs=0,
                                threshold_rel=0)
-            idxs = np.array(sorted((z, y, x) for z, y, x in idxs))
-            logging.info("peaks: found %d local maxima", idxs.shape[0])
-            self.coords = idxs
+            self.coords = _sorted_zyx(idxs)
+            logging.info("peaks: found %d local maxima",
+                         len(self.coords))
 
 
 class PolicyPeaks2d(BaseSeedPolicy):
-    """Per-z-slice 2d edge-distance peaks (seed.py:202-280)."""
+    """Per-z-slice 2d edge-distance peaks, globally zyx-sorted."""
 
     def __init__(self, canvas, min_distance=7, threshold_abs=2.5,
                  sort_cmp="ascending", **kwargs):
@@ -139,32 +194,25 @@ class PolicyPeaks2d(BaseSeedPolicy):
         self.threshold_abs = threshold_abs
         self.sort_reverse = sort_cmp.strip().lower().startswith("de")
 
+    def _slice_peaks(self, z: int) -> np.ndarray:
+        image_2d = np.asarray(self.canvas.image[z], dtype=np.float32)
+        filt_edges = image_ops.adaptive_edge_mask(image_2d)
+        restrictor = self.canvas.restrictor
+        if restrictor is not None and restrictor.mask is not None:
+            filt_edges[restrictor.mask[z]] = 1
+        dt = edt_lib.edt(1 - filt_edges).astype(np.float32)
+        return _find_peaks(dt, min_distance=self.min_distance,
+                           threshold_abs=self.threshold_abs,
+                           threshold_rel=0)
+
     def init_coords(self):
         logging.info("2d peaks: starting")
-        all_idxs = None
-        for z in range(self.canvas.image.shape[0]):
-            image_2d = np.asarray(self.canvas.image[z, :, :],
-                                  dtype=np.float32)
-            filt_edges = image_ops.adaptive_edge_mask(image_2d)
-
-            if (self.canvas.restrictor is not None and
-                    self.canvas.restrictor.mask is not None):
-                filt_edges[self.canvas.restrictor.mask[z, :, :]] = 1
-
-            dt = edt_lib.edt(1 - filt_edges).astype(np.float32)
-            idxs = _find_peaks(dt, min_distance=self.min_distance,
-                               threshold_abs=self.threshold_abs,
-                               threshold_rel=0)
-            zs = np.full((idxs.shape[0], 1), z, dtype=np.int64)
-            idxs = np.concatenate((zs, idxs), axis=1)
-            all_idxs = idxs if all_idxs is None else \
-                np.concatenate((all_idxs, idxs))
-
-        self.coords = np.array(
-            sorted([(z, y, x) for z, y, x in all_idxs],
-                   reverse=self.sort_reverse))
+        self.coords = _sorted_zyx(_stack_slicewise(
+            (z, self._slice_peaks(z))
+            for z in range(self.canvas.image.shape[0])),
+            reverse=self.sort_reverse)
         logging.info("2d peaks: found %d total local maxima",
-                     self.coords.shape[0])
+                     len(self.coords))
 
 
 class PolicyFillEmptySpace(BaseSeedPolicy):
@@ -173,19 +221,18 @@ class PolicyFillEmptySpace(BaseSeedPolicy):
     def init_coords(self):
         dt = edt_lib.edt(self.canvas.segmentation == 0).astype(np.float32)
         # threshold_abs < 1 avoids seeding inside already-segmented areas.
-        idxs = _find_peaks(dt, min_distance=2, threshold_abs=0.5,
-                           threshold_rel=0)
-        self.coords = np.array(sorted((z, y, x) for z, y, x in idxs))
+        self.coords = _sorted_zyx(_find_peaks(
+            dt, min_distance=2, threshold_abs=0.5, threshold_rel=0))
 
 
 class PolicyMax(BaseSeedPolicy):
     """All points, in descending order of image intensity."""
 
     def init_coords(self):
-        idxs = np.mgrid[[slice(0, x) for x in self.canvas.image.shape]]
-        sort_idx = np.argsort(np.asarray(self.canvas.image).flat)[::-1]
-        self.coords = np.array(
-            list(zip(*[idx.flat[sort_idx] for idx in idxs])))
+        img = np.asarray(self.canvas.image)
+        order = np.argsort(img.flat)[::-1]
+        self.coords = np.stack(
+            np.unravel_index(order, img.shape), axis=1)
 
 
 class PolicyMaxPeaks(BaseSeedPolicy):
@@ -201,14 +248,14 @@ class PolicyMaxPeaks(BaseSeedPolicy):
     def init_coords(self):
         img = np.asarray(self.canvas.image, dtype=np.float32).copy()
         img[self.get_exclusion_mask()] = 0
-        idxs = _find_peaks(img, min_distance=self.min_distance,
-                           threshold_abs=self.threshold_abs,
-                           threshold_rel=self.threshold_rel)
-        self.coords = np.array(sorted((z, y, x) for z, y, x in idxs))
+        self.coords = _sorted_zyx(_find_peaks(
+            img, min_distance=self.min_distance,
+            threshold_abs=self.threshold_abs,
+            threshold_rel=self.threshold_rel))
 
 
 class PolicyImagePeaks3D2D(BaseSeedPolicy):
-    """3d image peaks followed by per-slice 2d image peaks."""
+    """3d image peaks first, then per-slice 2d image peaks."""
 
     def __init__(self, canvas, min_distance_2d=2, min_distance_3d=4,
                  **kwargs):
@@ -218,17 +265,16 @@ class PolicyImagePeaks3D2D(BaseSeedPolicy):
 
     def init_coords(self):
         img = np.asarray(self.canvas.image)
-        coords3d = []
+        parts = []
         if self._min_distance_3d >= 0:
-            coords3d = peaks_lib.peak_local_max(
-                img, min_distance=self._min_distance_3d).tolist()
-        coords2d = []
+            parts.append(np.asarray(peaks_lib.peak_local_max(
+                img, min_distance=self._min_distance_3d)).reshape(-1, 3))
         if self._min_distance_2d >= 0:
-            for z in range(img.shape[0]):
-                for y, x in peaks_lib.peak_local_max(
-                        img[z, ...], min_distance=self._min_distance_2d):
-                    coords2d.append((z, y, x))
-        self.coords = np.array(coords3d + coords2d)
+            parts.append(_stack_slicewise(
+                (z, peaks_lib.peak_local_max(
+                    img[z], min_distance=self._min_distance_2d))
+                for z in range(img.shape[0])))
+        self.coords = np.concatenate(parts) if parts else _EMPTY
 
 
 class PolicyImagePeaks2DDisk(BaseSeedPolicy):
@@ -244,18 +290,16 @@ class PolicyImagePeaks2DDisk(BaseSeedPolicy):
     def init_coords(self):
         img = np.asarray(self.canvas.image)
         footprint = peaks_lib.disk_footprint(self._disk_radius)
-        coords = []
-        for z in range(img.shape[0]):
-            for y, x in peaks_lib.peak_local_max(
-                    img[z, ...], min_distance=self._min_distance_2d,
-                    p_norm=2, threshold_rel=self._threshold_rel,
-                    exclude_border=True, footprint=footprint):
-                coords.append((z, y, x))
-        self.coords = np.array(coords)
+        self.coords = _stack_slicewise(
+            (z, peaks_lib.peak_local_max(
+                img[z], min_distance=self._min_distance_2d, p_norm=2,
+                threshold_rel=self._threshold_rel, exclude_border=True,
+                footprint=footprint))
+            for z in range(img.shape[0]))
 
 
 class PolicyGrid3d(BaseSeedPolicy):
-    """Uniform 3d grid with multiple interleaved offsets."""
+    """Uniform 3d lattice, several interleaved offsets (coarse first)."""
 
     def __init__(self, canvas, step=16, offsets=(0, 8, 4, 12, 2, 10, 14),
                  **kwargs):
@@ -264,19 +308,12 @@ class PolicyGrid3d(BaseSeedPolicy):
         self.offsets = offsets
 
     def init_coords(self):
-        coords = []
-        for offset in self.offsets:
-            for z in range(offset, self.canvas.image.shape[0], self.step):
-                for y in range(offset, self.canvas.image.shape[1],
-                               self.step):
-                    for x in range(offset, self.canvas.image.shape[2],
-                                   self.step):
-                        coords.append((z, y, x))
-        self.coords = np.array(coords)
+        self.coords = _lattice(self.canvas.image.shape, self.step,
+                               self.offsets, dense_z=False)
 
 
 class PolicyGrid2d(BaseSeedPolicy):
-    """Uniform 2d grid over every z slice."""
+    """Uniform lattice in y/x on EVERY z slice."""
 
     def __init__(self, canvas, step=16, offsets=(0, 8, 4, 12, 2, 6, 10, 14),
                  **kwargs):
@@ -285,15 +322,8 @@ class PolicyGrid2d(BaseSeedPolicy):
         self.offsets = offsets
 
     def init_coords(self):
-        coords = []
-        for offset in self.offsets:
-            for z in range(self.canvas.image.shape[0]):
-                for y in range(offset, self.canvas.image.shape[1],
-                               self.step):
-                    for x in range(offset, self.canvas.image.shape[2],
-                                   self.step):
-                        coords.append((z, y, x))
-        self.coords = np.array(coords)
+        self.coords = _lattice(self.canvas.image.shape, self.step,
+                               self.offsets, dense_z=True)
 
 
 class PolicyInvertOrigins(BaseSeedPolicy):
@@ -327,7 +357,7 @@ class PolicyDenseSeeds(BaseSeedPolicy):
             x = ~x
         for _ in range(self._num_erosions):
             x = ndimage.binary_erosion(x)
-        self.coords = np.array(np.where(x)).T
+        self.coords = np.argwhere(x)
 
 
 class ReverseCoords(BaseSeedPolicy):
@@ -335,11 +365,12 @@ class ReverseCoords(BaseSeedPolicy):
 
     def __init__(self, canvas, policy_to_reverse: str, **policy_kwargs):
         super().__init__(canvas)
-        policy_cls = globals()[policy_to_reverse]
-        self._policy = policy_cls(canvas, **policy_kwargs)
+        self._policy = globals()[policy_to_reverse](canvas,
+                                                    **policy_kwargs)
 
     def init_coords(self):
-        self.coords = np.array(list(self._policy)[::-1])
+        inner = np.asarray(list(self._policy)).reshape(-1, 3)
+        self.coords = inner[::-1]
 
 
 class SequentialPolicies(BaseSeedPolicy):
@@ -353,7 +384,9 @@ class SequentialPolicies(BaseSeedPolicy):
                           for name, kw in policies]
 
     def init_coords(self):
-        self.coords = np.array(list(itertools.chain(*self._policies)))
+        parts = [np.asarray(list(p)).reshape(-1, 3)
+                 for p in self._policies]
+        self.coords = np.concatenate(parts) if parts else _EMPTY
 
     def get_state(self, previous=False):
         return [p.get_state(previous=previous) for p in self._policies]

@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""End-to-end 250^3 benchmark on the FUSED multi-subvolume driver.
+
+The round-2 e2e bottleneck was occupancy: a single 250^3 phantom holds
+only ~120 cells, so a monolithic canvas cannot feed a full lane batch
+(measured ~7% of bench peak sustained). This benchmark runs the
+production-shaped answer: decompose the volume into overlapping
+subvolumes (ref utils/bounding_box.py OrderlyOverlappingCalculator
+semantics), process ALL of them concurrently in one engine batch
+(parallel/multi_canvas), stitch to a global ID space, and score
+object-level agreement against ground truth.
+
+Smaller subvolumes also shrink every lane's POM buffer by ~8x, so far
+more lanes fit in HBM than the monolithic canvas allowed.
+
+Env knobs: F_CKPT (required), F_SIZE (250), F_LANES (192), F_SLOTS (8),
+F_SUB (149), F_OVERLAP (48), F_HOPS (16), F_MAX_ITERS (4000),
+F_PAD_IMAGE (0 = unpadded, N = reflect-pad the whole volume by N before
+decomposing, mirroring a dataset interior), F_WORKDIR.
+
+Prints one JSON line with wall, FOV/s sustained, and agreement.
+"""
+
+import json
+import os
+import sys
+import time
+
+import h5py
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tools import synthetic_em
+    from tools.quality_eval import build_request, make_phantom
+    from ffn_tpu.parallel import sharded_inference
+    from ffn_tpu.utils import bounding_box
+
+    ckpt = os.environ["F_CKPT"]
+    size = int(os.environ.get("F_SIZE", "250"))
+    lanes = int(os.environ.get("F_LANES", "192"))
+    slots = int(os.environ.get("F_SLOTS", "8"))
+    sub = int(os.environ.get("F_SUB", "149"))
+    overlap = int(os.environ.get("F_OVERLAP", "48"))
+    hops = int(os.environ.get("F_HOPS", "16"))
+    pad = int(os.environ.get("F_PAD_IMAGE", "0"))
+    workdir = os.environ.get("F_WORKDIR", "/tmp/ffn_tpu_fused")
+    os.makedirs(workdir, exist_ok=True)
+
+    vol_path, gt = make_phantom(workdir, size)
+    if pad:
+        padded_path = vol_path.replace(".h5", f"_pad{pad}.h5")
+        if not os.path.exists(padded_path):
+            with h5py.File(vol_path, "r") as f:
+                raw = f["raw"][...]
+            raw = np.pad(raw, pad, mode="reflect")
+            with h5py.File(padded_path, "w") as f:
+                f.create_dataset("raw", data=raw)
+        vol_path = padded_path
+    full = size + 2 * pad
+
+    out_dir = os.path.join(workdir, f"fused_{time.time():.0f}")
+    request = build_request(vol_path, out_dir, ckpt, lanes,
+                            os.environ.get("F_DTYPE", "bf16"))
+    outer = bounding_box.BoundingBox(start=(0, 0, 0), size=(full,) * 3)
+    driver = sharded_inference.ShardedInferenceDriver(
+        request, outer, subvol_size_xyz=(sub,) * 3,
+        overlap_xyz=(overlap,) * 3,
+        seed_handoff=os.environ.get("F_HANDOFF", "1") == "1")
+    n_sub = driver.num_subvolumes()
+    print(f"{n_sub} subvolumes of {sub}^3, overlap {overlap}",
+          flush=True)
+
+    from ffn_tpu.inference import runner as runner_lib
+    runner = runner_lib.Runner()
+    max_iters = int(os.environ.get("F_MAX_ITERS", "4000"))
+    if max_iters:
+        runner.canvas_defaults["max_iters_per_segment"] = max_iters
+    runner.start(request)
+
+    t0 = time.time()
+    done = driver.run_worker_fused(runner=runner, lanes=lanes,
+                                   slots=slots, hops=hops)
+    wall = time.time() - t0
+
+    # Sub-counters propagate to the runner's root counters.
+    fovs = runner.counters["fov-moves"].value
+
+    t1 = time.time()
+    stitcher = driver.stitch(min_overlap_fraction=0.5)
+    out = stitcher.assemble(None)
+    stitch_wall = time.time() - t1
+    if pad:
+        out = out[pad:-pad, pad:-pad, pad:-pad]
+    agreement = synthetic_em.object_level_agreement(
+        gt.astype(np.uint64), out.astype(np.uint64))
+
+    print(json.dumps({
+        "metric": "e2e_fused_250",
+        "ckpt": ckpt, "size": size, "pad": pad,
+        "subvolumes": n_sub, "sub": sub, "overlap": overlap,
+        "lanes": lanes, "slots": slots, "hops": hops,
+        "wall_s": round(wall, 1),
+        "stitch_s": round(stitch_wall, 1),
+        "fov_calls": int(fovs),
+        "fov_per_s": round(fovs / max(wall, 1e-9), 1),
+        "objects": int(len(np.unique(out[out > 0]))),
+        "segmented_fraction": round(float((out > 0).mean()), 3),
+        "agreement": round(float(agreement), 4),
+        "saved": done,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,9 @@ def main():
     steps = int(os.environ.get("PH_STEPS", "3000"))
     batch = int(os.environ.get("PH_BATCH", "8"))
     depth = int(os.environ.get("PH_DEPTH", "12"))
+    fov = int(os.environ.get("PH_FOV", "33"))
+    delta = int(os.environ.get("PH_DELTA", "8"))
+    features = int(os.environ.get("PH_FEATURES", "32"))
     workdir = os.environ.get("PH_WORKDIR", "/tmp/ffn_tpu_phantom_train")
     os.makedirs(workdir, exist_ok=True)
 
@@ -73,7 +76,7 @@ def main():
         print("computing partitions + coordinates...", flush=True)
         with h5py.File(vol_path, "r") as f:
             seg = f["seg"][...]
-        lom_radius = (24, 24, 24)  # fov//2 + deltas
+        lom_radius = (fov // 2 + delta,) * 3
         corner, parts = partitions.compute_partitions(
             seg.astype(np.uint64),
             thresholds=[0.025, 0.05, 0.075, 0.1, 0.2, 0.3, 0.4, 0.5,
@@ -107,7 +110,8 @@ def main():
         print(f"{len(centers)} coordinates", flush=True)
 
     config = train_lib.TrainConfig(
-        fov_size=(33, 33, 33), deltas=(8, 8, 8), depth=depth, features=32,
+        fov_size=(fov,) * 3, deltas=(delta,) * 3, depth=depth,
+        features=features,
         batch_size=batch,
         precision=os.environ.get("PH_PRECISION", "bf16"),
         remat=os.environ.get("PH_REMAT", "0") == "1",
@@ -137,8 +141,8 @@ def main():
            else train_loop.run_training)
     summaries = run(
         "convstack_3d.ConvStack3DFFNModel",
-        json.dumps({"depth": depth, "fov_size": [33, 33, 33],
-                    "deltas": [8, 8, 8]}),
+        json.dumps({"depth": depth, "fov_size": [fov] * 3,
+                    "deltas": [delta] * 3, "features": features}),
         config, data, loop)
     wall = time.time() - t0
     print(json.dumps({

@@ -11,6 +11,7 @@ prefetch thread; the device never sees this code.
 from __future__ import annotations
 
 import itertools
+import os
 import queue as queue_lib
 import random
 import re
@@ -62,12 +63,25 @@ class CoordinateStream:
     """
 
     def __init__(self, coordinates_file_pattern: str, shuffle: bool = True,
-                 rng: Optional[random.Random] = None):
+                 rng: Optional[random.Random] = None,
+                 shard_index: int = 0, shard_count: int = 1):
+        """shard_index/shard_count: yield only every shard_count-th
+        coordinate of the global deterministic sequence, starting at
+        shard_index. Multi-host training gives each process a DISJOINT
+        shard of the same stream (all processes must use the same rng
+        seed so the underlying permutation is shared) — the reference's
+        @shards file split (ref inputs.py:35-63, jax/train.py:525) at
+        row granularity."""
         self._files = []
         for pattern in coordinates_file_pattern.split(","):
             self._files.extend(expand_shards(pattern))
         self._shuffle = shuffle
         self._rng = rng if rng is not None else random.Random(0)
+        if not 0 <= shard_index < shard_count:
+            raise ValueError(f"bad shard {shard_index}/{shard_count}")
+        self._shard_index = int(shard_index)
+        self._shard_count = int(shard_count)
+        self._global_seen = 0   # coords in fully processed files
         self._epoch_files: list = []
         self._centers: Optional[np.ndarray] = None
         self._names: Optional[np.ndarray] = None
@@ -86,6 +100,14 @@ class CoordinateStream:
         if self._shuffle:
             self._rng.shuffle(idx)
         idx = np.asarray(idx, np.int64)
+        if self._shard_count > 1:
+            # This file covers global positions
+            # [_global_seen, _global_seen + n); keep the rows belonging
+            # to this shard (position % shard_count == shard_index).
+            first = (self._shard_index - self._global_seen) \
+                % self._shard_count
+            idx = idx[first::self._shard_count]
+        self._global_seen += len(centers)
         self._centers = centers[idx]
         self._names = names[idx]
         self._pos = 0
@@ -200,10 +222,16 @@ class ExampleLoader:
                  offset_scale_map: Optional[dict] = None,
                  augment: Optional[Callable] = None,
                  shuffle: bool = True, seed: int = 0,
-                 raw: bool = False):
-        self._coords = load_patch_coordinates(
+                 raw: bool = False,
+                 shard_index: int = 0, shard_count: int = 1):
+        self._coords = CoordinateStream(
             coordinates_file_pattern, shuffle=shuffle,
-            rng=random.Random(seed))
+            rng=random.Random(seed), shard_index=shard_index,
+            shard_count=shard_count)
+        # Debug/verification hook: append one "volname x y z" line per
+        # example actually handed out (multi-host tests use it to prove
+        # shard disjointness and exact resume).
+        self._coord_log = os.environ.get("FFN_TPU_COORD_LOG") or None
         self._image_volume_map = image_volume_map
         self._label_volume_map = label_volume_map
         self._image_size = image_size_xyz
@@ -264,6 +292,10 @@ class ExampleLoader:
                                          label_vol.shape):
                 continue
 
+            if self._coord_log:
+                with open(self._coord_log, "a") as f:
+                    f.write(f"{volname} {coord[0]} {coord[1]} "
+                            f"{coord[2]}\n")
             labels = load_from_numpylike(coord, label_vol, self._label_size)
             lom = center_lom(labels)
             image = load_from_numpylike(coord, image_vol, self._image_size)

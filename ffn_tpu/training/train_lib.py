@@ -55,6 +55,11 @@ class TrainConfig:
     fov_moves: int = 1
     fov_policy: str = "fixed"   # fixed | max_pred_moves | no_step |
     #                             fixed_window
+    # fixed_window: a move is valid when ANY seed voxel within this
+    # radius of the move target (on the delta shell) clears the
+    # threshold — follows thin processes the exact-voxel test loses
+    # (ref jax/train.py:316-343 passes radius=8). Must be <= fov//2.
+    fixed_window_radius: int = 8
     threshold: float = 0.9      # move gate (probability space)
     seed_pad: float = 0.05
     seed_init: float = 0.95
@@ -303,12 +308,46 @@ def _scan_body(model, tx: optax.GradientTransformation,
             (arr.shape[0], 1, 1, 1, 1))
         return vals.reshape(arr.shape[0])
 
+    use_window = config.fov_policy == "fixed_window"
+    if use_window:
+        # Static delta-shell coordinates relative to the canvas center
+        # (zyx): the voxels the windowed validity test may consult
+        # (examples.fixed_offsets_window / ref examples.py:201-276).
+        radius = int(config.fixed_window_radius)
+        d = np.maximum(np.array(info.deltas[::-1], np.int64), 0)
+        hz, hy, hx = np.meshgrid(*(np.arange(-v, v + 1) for v in d),
+                                 indexing="ij")
+        on_shell = ((np.abs(hz) == d[0]) | (np.abs(hy) == d[1])
+                    | (np.abs(hx) == d[2]))
+        shell_zyx = jnp.asarray(np.stack(
+            [hz[on_shell], hy[on_shell], hx[on_shell]], axis=1),
+            jnp.int32)
+
+    def window_any(arr, off, level):
+        """(B,) any value >= level on the delta shell within +-radius of
+        the move target. Shell gather indices are static; only the
+        in-window mask depends on the (traced) offset."""
+        center = jnp.array([s // 2 for s in arr.shape[1:4]], jnp.int32)
+        pts = center[None, :] + shell_zyx           # (Nh, 3) constant
+        vals = arr[:, pts[:, 0], pts[:, 1], pts[:, 2], 0]   # (B, Nh)
+        in_window = jnp.all(jnp.abs(shell_zyx - off[None, :]) <= radius,
+                            axis=1)
+        return jnp.any((vals >= level) & in_window[None, :], axis=1)
+
     def body(carry, off):
         (params, opt_state, ema_params, scale_state, seeds, images, labels,
          weights) = carry
 
         valid = center_value(seeds, off) >= move_t          # (B,)
         wanted = center_value(labels, off) >= label_t       # (B,)
+        if use_window:
+            # The center move keeps the exact-voxel test (the reference
+            # windows only the actual delta shifts).
+            is_center = jnp.all(off == 0)
+            valid = jnp.where(is_center, valid,
+                              window_any(seeds, off, move_t))
+            wanted = jnp.where(is_center, wanted,
+                               window_any(labels, off, label_t))
 
         seed_patch = crop(seeds, off, fov_zyx)
         img_patch = crop(images, off, img_zyx)

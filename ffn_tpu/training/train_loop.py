@@ -12,6 +12,7 @@ batch_size // process_count.
 from __future__ import annotations
 
 import dataclasses
+import glob
 import json
 import os
 import time
@@ -119,7 +120,9 @@ class ExampleBatcher:
     """
 
     def __init__(self, data: DataConfig, config: train_lib.TrainConfig,
-                 info, rng_seed: int = 0, packed: bool = False):
+                 info, rng_seed: int = 0, packed: bool = False,
+                 shard_index: int = 0, shard_count: int = 1,
+                 aug_seed: Optional[int] = None):
         self._batch_size = config.batch_size
         self._packed = packed
         self._canvas_zyx = tuple(
@@ -131,11 +134,16 @@ class ExampleBatcher:
         self._seed_pad = config.seed_pad
         self._seed_init = config.seed_init
 
+        # Augmentation draws are per-process (decorrelated); the
+        # coordinate stream seed is rng_seed and must be SHARED across
+        # processes when shard_count > 1 (disjoint strided shards of one
+        # deterministic stream).
         self._transform = augmentation.PermuteAndReflect(
             rank=5,
             permutable_axes=[a + 1 for a in data.permutable_axes],
             reflectable_axes=[a + 1 for a in data.reflectable_axes],
-            rng=np.random.RandomState(rng_seed))
+            rng=np.random.RandomState(
+                rng_seed if aug_seed is None else aug_seed))
 
         def augment(*arrays):
             perm, flips = self._transform.sample()
@@ -148,7 +156,8 @@ class ExampleBatcher:
             label_volume_map=inputs_lib.parse_volume_map(data.label_volumes),
             image_size_xyz=image_zyx[::-1], label_size_xyz=label_zyx[::-1],
             image_mean=data.image_mean, image_stddev=data.image_stddev,
-            augment=augment, seed=rng_seed, raw=packed)
+            augment=augment, seed=rng_seed, raw=packed,
+            shard_index=shard_index, shard_count=shard_count)
         self._loader = None  # prefetch started lazily / after fast_forward
 
     def fast_forward(self, n_examples: int) -> None:
@@ -230,11 +239,11 @@ def run_training(model_name: str, model_args: str,
     model = model_cls(**kwargs)
     info = model.info
 
-    if config.fov_policy not in ("fixed",):
+    if config.fov_policy not in ("fixed", "fixed_window"):
         raise NotImplementedError(
-            f"train_loop currently drives the scan trainer (fixed policy); "
-            f"got {config.fov_policy!r}. Use training.examples for "
-            f"host-loop policies.")
+            f"the scan trainer drives static-offset policies (fixed, "
+            f"fixed_window); got {config.fov_policy!r}. Use "
+            f"run_training_host_loop for max_pred_moves/no_step.")
 
     n_proc = jax.process_count()
     proc = jax.process_index()
@@ -259,11 +268,8 @@ def run_training(model_name: str, model_args: str,
                 f"{n_proc} processes")
         local_config = dataclasses.replace(
             config, batch_size=config.batch_size // n_proc)
-        # Distinct coordinate-stream shard per process.
-        batch_seed = loop.random_seed + 7919 * proc
     else:
         local_config = config
-        batch_seed = loop.random_seed
 
     def put_batched(x):
         """Process-local numpy -> global batch-sharded device array."""
@@ -277,8 +283,14 @@ def run_training(model_name: str, model_args: str,
             return tree
         return jax.device_put(tree, repl_sharding)
 
-    next_batch = ExampleBatcher(data, local_config, info,
-                                rng_seed=batch_seed, packed=packed)
+    # Disjoint data sharding (ref inputs.py:35-63 @shards semantics at
+    # row granularity): every process consumes a strided shard of ONE
+    # deterministic coordinate stream — no coordinate is sampled by two
+    # processes. Augmentation RNG is per-process.
+    next_batch = ExampleBatcher(
+        data, local_config, info, rng_seed=loop.random_seed,
+        packed=packed, shard_index=proc, shard_count=n_proc,
+        aug_seed=loop.random_seed + 7919 * proc)
     eval_shape = tuple(int(v)
                        for v in train_lib.train_eval_size(info, config)
                        [::-1])
@@ -305,7 +317,20 @@ def run_training(model_name: str, model_args: str,
         if consumed_base is None:
             # Old-format checkpoint without a data cursor: assume the
             # scan trainer's fixed consumption rate.
-            consumed_base = start_step * config.batch_size
+            consumed_base = start_step * local_config.batch_size
+        if n_proc > 1 and not is_chief:
+            # The extra file holds the CHIEF's cursor; other processes
+            # consume at their own rate (bounds rejections differ per
+            # shard) and read their own cursor file.
+            cpath = os.path.join(ckpt_dir,
+                                 f"cursor.ckpt-{latest}.p{proc}.npz")
+            if os.path.exists(cpath):
+                consumed_base = int(np.load(cpath)["consumed"])
+            else:
+                logging.warning(
+                    "No per-process cursor for step %d (process %d); "
+                    "assuming fixed consumption.", latest, proc)
+                consumed_base = start_step * local_config.batch_size
         next_batch.fast_forward(consumed_base)
         logging.info("Resumed from step %d (data cursor %d)", start_step,
                      consumed_base)
@@ -327,7 +352,13 @@ def run_training(model_name: str, model_args: str,
         return bool(np.any(flags))
 
     def save(step):
-        if not is_chief:
+        if n_proc > 1 and not is_chief:
+            # Non-chief processes persist only their own data cursor
+            # (model/optimizer state is replicated; the chief writes it).
+            os.makedirs(ckpt_dir, exist_ok=True)
+            np.savez(
+                os.path.join(ckpt_dir, f"cursor.ckpt-{step}.p{proc}.npz"),
+                consumed=np.int64(consumed_base + next_batch.consumed))
             return
         _save(ckpt_dir, step, params, opt_state)
         _save_extra(ckpt_dir, step, ema, scale_state, shuffle_rng,
@@ -623,6 +654,9 @@ def _apply_keep_policy(ckpt_dir, loop: LoopConfig):
             path = os.path.join(ckpt_dir, f"{prefix}{step}.npz")
             if os.path.exists(path):
                 os.remove(path)
+        for path in glob.glob(
+                os.path.join(ckpt_dir, f"cursor.ckpt-{step}.p*.npz")):
+            os.remove(path)
 
 
 def _save_extra(ckpt_dir, step, ema, scale_state, shuffle_rng, consumed):

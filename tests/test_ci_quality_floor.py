@@ -1,0 +1,84 @@
+"""Always-on CPU quality floor: the full inference stack must SEGMENT
+CORRECTLY, not merely produce finite logits.
+
+Runs the shipped tiny quality checkpoint (models/phantom/model-ci-tiny,
+ConvStack3D depth 2 / fov 17^3 / deltas 6^3, trained on the phantom
+family with the in-repo trainer) over a small held-out phantom through
+the production path (Runner -> HopBatchCanvas -> PolicyPeaks) and
+asserts object-level ground-truth agreement above a floor.
+
+Why a tiny model: the flagship depth-12 checkpoint costs ~3.7 s/FOV on
+this CPU — uncheckable in CI. Engine regressions (movement, validity,
+finalization, thresholds, blocked volume) break segmentation with ANY
+checkpoint; flagship TRAINING quality stays covered by the
+FFN_QUALITY-gated TPU test (test_shipped_checkpoint.py).
+
+Everything here is deterministic on CPU (fixed phantom seed, fixed
+checkpoint), so the asserted agreement is stable: 1.0 as shipped; a
+single lost/merged cell drops it to 0.83 (< floor), failing loudly.
+"""
+
+import os
+
+import h5py
+import numpy as np
+from google.protobuf import text_format
+
+from ffn_tpu.inference import runner as runner_lib
+from ffn_tpu.proto import inference_pb2
+
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+from tools import synthetic_em  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CKPT = os.path.join(REPO, "models", "phantom", "model-ci-tiny.npz")
+
+SIZE = 48
+PAD = 8   # reflect padding = FOV margin, so border cells are reachable
+FLOOR = 0.9
+
+
+def test_quality_floor_tiny_checkpoint(tmp_path):
+    image, gt = synthetic_em.make_volume(size=SIZE, seed=3, num_cells=6)
+    raw = np.pad(image, PAD, mode="reflect")
+    vol = str(tmp_path / "v.h5")
+    with h5py.File(vol, "w") as f:
+        f.create_dataset("raw", data=raw)
+
+    request = inference_pb2.InferenceRequest()
+    text_format.Parse(f"""
+image {{ hdf5: "{vol}:raw" }}
+image_mean: 128 image_stddev: 33
+seed_policy: "PolicyPeaks"
+model_checkpoint_path: "{CKPT}"
+model_name: "convstack_3d.ConvStack3DFFNModel"
+model_args: "{{\\"depth\\": 2, \\"fov_size\\": [17, 17, 17], \\"deltas\\": [6, 6, 6], \\"features\\": 16}}"
+segmentation_output_dir: "{tmp_path}/out"
+concurrent_requests: 4
+inference_options {{
+  init_activation: 0.95 pad_value: 0.05 move_threshold: 0.9
+  min_boundary_dist {{ x: 1 y: 1 z: 1 }}
+  segment_threshold: 0.6 min_segment_size: 300
+}}""", request)
+
+    runner = runner_lib.Runner()
+    runner.canvas_defaults["max_iters_per_segment"] = 1000
+    runner.start(request)
+    canvas = runner.run((0, 0, 0), (SIZE + 2 * PAD,) * 3,
+                        keep_probability_maps=False)
+    seg = np.maximum(canvas.segmentation, 0).astype(np.uint64)
+    seg = seg[PAD:-PAD, PAD:-PAD, PAD:-PAD]
+
+    agreement = synthetic_em.object_level_agreement(
+        gt.astype(np.uint64), seg, min_size=300)
+    segmented = float((seg > 0).mean())
+    assert agreement >= FLOOR, (
+        f"quality floor broken: agreement {agreement:.3f} < {FLOOR} "
+        f"(segmented fraction {segmented:.3f}, "
+        f"{len(canvas.origins)} objects)")
+    # The phantom's cells cover most of the volume; a floor on coverage
+    # catches silent under-segmentation that object matching might miss.
+    assert segmented > 0.4, segmented

@@ -147,6 +147,116 @@ def test_scan_trainer_matches_host_oracle():
     assert mean_loss < first
 
 
+def test_scan_trainer_fixed_window_matches_host_oracle():
+    """The scan trainer's fixed_window policy: per-offset validity (and
+    the wanted/correct stats) must match a brute-force host oracle of
+    the windowed rule, with the training math identical to `fixed`."""
+    import dataclasses
+
+    radius = 1
+    config = dataclasses.replace(
+        small_config(batch=2), fov_policy="fixed_window",
+        fixed_window_radius=radius)
+    model = small_model()
+    info = model.info
+    d = np.array(info.deltas[::-1])  # zyx
+    tx = optimizer_lib.optimizer_from_config(config.optimizer)
+    rng = np.random.RandomState(1)
+    seeds, images, labels, weights = make_batch(config, model, rng)
+    # Sparse hot voxels so windowed and exact validity genuinely differ.
+    seeds[:] = logit(0.05)
+    center = np.array(seeds.shape[1:4]) // 2
+    seeds[:, center[0], center[1], center[2], :] = logit(0.95)
+    for b in range(seeds.shape[0]):
+        for _ in range(8):
+            z, y, x = [rng.randint(c - 3, c + 4) for c in center]
+            seeds[b, z, y, x, 0] = logit(0.95)
+    offsets = train_lib.fixed_offsets_zyx(info)
+
+    def window_valid(arr, off_zyx, level):
+        """(B,) brute-force: any on-shell voxel within +-radius."""
+        c = np.array(arr.shape[1:4]) // 2
+        out = np.zeros(arr.shape[0], bool)
+        for hz in range(-d[0], d[0] + 1):
+            for hy in range(-d[1], d[1] + 1):
+                for hx in range(-d[2], d[2] + 1):
+                    if not (abs(hz) == d[0] or abs(hy) == d[1]
+                            or abs(hx) == d[2]):
+                        continue
+                    if max(abs(hz - off_zyx[0]), abs(hy - off_zyx[1]),
+                           abs(hx - off_zyx[2])) > radius:
+                        continue
+                    out |= arr[:, c[0] + hz, c[1] + hy, c[2] + hx,
+                               0] >= level
+        return out
+
+    step = train_lib.make_scan_train_step(model, tx, config)
+    params0 = model.init_params(jax.random.PRNGKey(0))
+    scale0 = precision_lib.loss_scale_for(
+        precision_lib.get_policy(config.precision))
+    work_seeds = seeds.copy()
+    # The step donates params; keep a live copy for the oracle below.
+    step_params = jax.tree.map(jnp.array, params0)
+    _, _, _, _, out_seeds, metrics = step(
+        step_params, tx.init(params0), None, scale0,
+        jnp.asarray(work_seeds), jnp.asarray(images),
+        jnp.asarray(labels), jnp.asarray(weights), jnp.asarray(offsets))
+
+    # Oracle replay: track validity/wanted decisions offset by offset,
+    # using the SCAN TRAINER's own seed evolution (decisions at offset i
+    # depend on writes from offsets < i; re-deriving the full training
+    # loop is covered by the `fixed` parity test — here we pin the
+    # decision rule itself).
+    move_t = logit(config.threshold)
+    active = np.asarray(metrics["active"])
+    correct = np.asarray(metrics["correct"])
+    spurious = np.asarray(metrics["spurious"])
+    missed = np.asarray(metrics["missed"])
+
+    # Offset 0 (center) uses the exact-voxel rule.
+    v0 = seeds[:, center[0], center[1], center[2], 0] >= move_t
+    assert active[0] == v0.sum()
+
+    # For the FIRST non-center offset, the seed state is still the
+    # initial canvas (only the center patch was rewritten by offset 0) —
+    # recompute it from the scan's own post-step state is impossible
+    # mid-flight, so check offset 1 against the window rule applied to
+    # the oracle-updated canvas: replicate offset 0's write using the
+    # same model params.
+    fov = tuple(info.input_seed_size[::-1])
+    pred = tuple(info.pred_mask_size[::-1])
+    img_size = tuple(info.input_image_size[::-1])
+    sp = mask_lib.crop_and_pad(seeds, (0, 0, 0), fov).copy()
+    ip = mask_lib.crop_and_pad(images, (0, 0, 0), img_size).copy()
+    logits0 = np.asarray(model.apply(params0, jnp.asarray(ip),
+                                     jnp.asarray(sp)))
+    seeds1 = seeds.copy()
+    write = mask_lib.crop_and_pad(seeds1, (0, 0, 0), pred)
+    write[v0] = logits0[v0]
+
+    off1 = offsets[1]
+    lab_t = config.threshold
+    v1 = window_valid(seeds1, off1, move_t)
+    w1 = window_valid(labels, off1, lab_t)
+    assert active[1] == v1.sum()
+    assert correct[1] == (v1 & w1).sum()
+    assert spurious[1] == (v1 & ~w1).sum()
+    assert missed[1] == (w1 & ~v1).sum()
+
+    # Windowed validity must differ from the exact rule somewhere in
+    # this fixture, or the test proves nothing.
+    exact1 = seeds1[:, center[0] + off1[0], center[1] + off1[1],
+                    center[2] + off1[2], 0] >= move_t
+    all_exact = []
+    all_window = []
+    for off in offsets[1:]:
+        all_exact.append(
+            seeds1[:, center[0] + off[0], center[1] + off[1],
+                   center[2] + off[2], 0] >= move_t)
+        all_window.append(window_valid(seeds1, off, move_t))
+    assert not np.array_equal(np.array(all_exact), np.array(all_window))
+
+
 def test_scan_trainer_sharded_mesh():
     # 8 virtual CPU devices (conftest). Tiny model: XLA-CPU conv-grad
     # compile time explodes with the FOV/batch size.
@@ -343,6 +453,73 @@ def test_batch_example_iter_seed_writeback():
     for s in it._seeds:
         center = tuple(np.array(s.shape[1:4]) // 2)
         assert s[0, center[0], center[1], center[2], 0] == 7.0
+
+
+def test_coordinate_stream_shards_partition_the_stream(tmp_path):
+    """Strided shards with a shared seed are disjoint and their
+    interleave reproduces the unsharded sequence exactly — across file
+    boundaries and epochs."""
+    rng = np.random.RandomState(3)
+    paths = []
+    for i, n in enumerate((7, 5, 9)):   # deliberately % 2 != 0 sizes
+        centers = rng.randint(0, 1000, (n, 3)).astype(np.int64)
+        p = str(tmp_path / f"c{i}.npz")
+        np.savez_compressed(p, center=centers,
+                            label_volume_name=np.array(["v"] * n))
+        paths.append(p)
+    pattern = ",".join(paths)
+
+    import random as pyrandom
+
+    def draw(shard_index, shard_count, n):
+        stream = inputs_lib.CoordinateStream(
+            pattern, shuffle=True, rng=pyrandom.Random(17),
+            shard_index=shard_index, shard_count=shard_count)
+        return [tuple(next(stream)[0]) for _ in range(n)]
+
+    full = draw(0, 1, 42)   # two full epochs of 21
+    s0 = draw(0, 2, 21)
+    s1 = draw(1, 2, 21)
+    interleaved = [c for pair in zip(s0, s1) for c in pair]
+    assert interleaved == full
+
+
+def test_example_loader_sharded_fast_forward(tmp_path):
+    """Sharded streams fast-forward to the exact same position a live
+    run reaches (the multi-host resume path)."""
+    shape = (40, 40, 40)
+    seg = np.zeros(shape, np.uint64)
+    seg[4:36, 4:36, 4:36] = 1
+    img = np.random.RandomState(0).randint(0, 255, shape).astype(np.uint8)
+    import h5py
+    with h5py.File(str(tmp_path / "d.h5"), "w") as f:
+        f.create_dataset("seg", data=seg)
+        f.create_dataset("img", data=img)
+    rng = np.random.RandomState(1)
+    # Mix of in-bounds and out-of-bounds centers so the bounds filter
+    # interacts with the shard stride.
+    centers = np.concatenate([
+        rng.randint(8, 32, (40, 3)),
+        rng.randint(0, 5, (10, 3))]).astype(np.int64)
+    rng.shuffle(centers)
+    np.savez_compressed(str(tmp_path / "c.npz"), center=centers,
+                        label_volume_name=np.array(["v"] * len(centers)))
+
+    def make_loader():
+        vol = inputs_lib.parse_volume_map(f"v:{tmp_path}/d.h5:img")
+        lab = inputs_lib.parse_volume_map(f"v:{tmp_path}/d.h5:seg")
+        return inputs_lib.ExampleLoader(
+            str(tmp_path / "c.npz"), image_volume_map=vol,
+            label_volume_map=lab, image_size_xyz=(9, 9, 9),
+            label_size_xyz=(9, 9, 9), image_mean=128, image_stddev=33,
+            seed=5, shard_index=1, shard_count=2)
+
+    live = make_loader()
+    seen = [tuple(live()[3]) for _ in range(7)]
+    resumed = make_loader()
+    resumed.fast_forward(5)
+    cont = [tuple(resumed()[3]) for _ in range(2)]
+    assert cont == seen[5:7]
 
 
 def test_coordinate_roundtrip_npz(tmp_path):

@@ -123,16 +123,27 @@ def run_seg(vol_path, size, ckpt, lanes, dtype, workdir, tag):
     return seg, wall, int(fovs), len(canvas.origins)
 
 
-def make_phantom(workdir, size, seed=None):
+def make_phantom(workdir, size, seed=None, morphology=None):
+    """Builds an eval phantom; morphology "a" (default) is the round-2
+    isotropic family, "b" the anisotropic lognormal-cell-size family
+    (synthetic_em.make_volume_b). Q_MORPH selects it for the gate."""
     from tools import synthetic_em
 
+    if morphology is None:
+        morphology = os.environ.get("Q_MORPH", "a")
     tag = "eval" if seed is None else f"s{seed}"
+    if morphology != "a":
+        tag = f"{morphology}_{tag}"
     path = os.path.join(workdir, f"phantom_{tag}_{size}.h5")
     if not os.path.exists(path):
         kwargs = {} if seed is None else {"seed": seed}
-        if size != 250:
-            kwargs["num_cells"] = max(8, int(120 * (size / 250.0) ** 3))
-        image, gt = synthetic_em.make_volume(size=size, **kwargs)
+        if morphology == "a":
+            if size != 250:
+                kwargs["num_cells"] = max(8,
+                                          int(120 * (size / 250.0) ** 3))
+            image, gt = synthetic_em.make_volume(size=size, **kwargs)
+        else:
+            image, gt = synthetic_em.make_volume_b(size=size, **kwargs)
         with h5py.File(path, "w") as f:
             f.create_dataset("raw", data=image)
             f.create_dataset("gt", data=gt)

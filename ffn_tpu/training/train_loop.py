@@ -61,6 +61,12 @@ class LoopConfig:
     # can relaunch; training resumes exactly from the last checkpoint
     # (see _restore/_restore_extra). 0 disables.
     stall_timeout_secs: float = 0.0
+    # Multi-host preemption flags are OR-ed with a process_allgather; at
+    # millisecond step times that collective is measurable, so it can be
+    # amortized to every N steps (all processes evaluate it at the SAME
+    # steps, so they still stop together; preemption latency grows to at
+    # most N steps). 1 = check every step.
+    stop_check_every_steps: int = 1
 
 
 class _StallWatchdog:
@@ -343,9 +349,13 @@ def run_training(model_name: str, model_args: str,
     stop = _PreemptionWatcher()
     watchdog = _StallWatchdog(loop.stall_timeout_secs)
 
-    def stop_requested():
+    def stop_requested(step):
         if n_proc == 1:
             return stop.requested
+        if (step + 1) % max(1, loop.stop_check_every_steps):
+            # Amortized cadence: every process skips the collective at
+            # the same steps, so the OR is still evaluated jointly.
+            return False
         from jax.experimental import multihost_utils
         flags = multihost_utils.process_allgather(
             np.int32(stop.requested))
@@ -416,7 +426,7 @@ def run_training(model_name: str, model_args: str,
                             weights)
 
         watchdog.beat()
-        preempted = stop_requested()
+        preempted = stop_requested(step)
         boundary = ((step + 1) % loop.summary_every_steps == 0
                     or (step + 1) % loop.checkpoint_every_steps == 0
                     or step + 1 == loop.max_steps or preempted)

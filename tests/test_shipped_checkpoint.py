@@ -17,6 +17,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CKPTS = sorted(glob.glob(os.path.join(REPO, "models/phantom/*.npz")))
 BEST = os.path.join(REPO, "models/phantom/model-r2.npz")
 
+# Model configuration per shipped checkpoint family (see
+# models/phantom/README.md). Default: the flagship fib25 shape.
+FLAGSHIP = dict(fov_size=[33, 33, 33], deltas=[8, 8, 8], depth=12,
+                features=32)
+CONFIGS = {
+    "model-ci-tiny.npz": dict(fov_size=[17, 17, 17], deltas=[6, 6, 6],
+                              depth=2, features=16),
+}
+
 
 @pytest.mark.parametrize("path", CKPTS, ids=[os.path.basename(p)
                                              for p in CKPTS])
@@ -25,15 +34,17 @@ def test_shipped_checkpoint_loads_and_runs(path):
 
     from ffn_tpu.models import convstack_3d, params_io
 
+    cfg = CONFIGS.get(os.path.basename(path), FLAGSHIP)
     params = params_io.load_params_npz(path)
-    model = convstack_3d.ConvStack3DFFNModel(
-        fov_size=[33, 33, 33], deltas=[8, 8, 8], depth=12, features=32)
+    model = convstack_3d.ConvStack3DFFNModel(**cfg)
     tree = params["params"] if "params" in params else params
     assert "conv0_a" in tree and "conv_lom" in tree
-    assert tree["conv0_a"]["kernel"].shape == (3, 3, 3, 2, 32)
+    assert tree["conv0_a"]["kernel"].shape == (3, 3, 3, 2,
+                                               cfg["features"])
 
-    image = jnp.zeros((1, 33, 33, 33, 1), jnp.float32)
-    seed = jnp.full((1, 33, 33, 33, 1), -2.944, jnp.float32)
+    fov = cfg["fov_size"][::-1]
+    image = jnp.zeros((1, *fov, 1), jnp.float32)
+    seed = jnp.full((1, *fov, 1), -2.944, jnp.float32)
     out = model.apply(params, image, seed)
     assert np.isfinite(np.asarray(out)).all()
 

@@ -588,13 +588,18 @@ class BatchCanvas:
         """Hook called after a new segment id is written (HopBatchCanvas
         mirrors the claim into the device blocked volume)."""
 
-    def _finalize(self, li: int, lane: _Lane, weak: bool = False):
+    def _finalize(self, li: int, lane: _Lane, weak: bool = False,
+                  too_small: bool = False):
         """Thresholds a finished lane's POM into the shared segmentation.
 
         weak=True marks a lane the device already rejected (origin seed
-        below the move threshold) — the rejection is recorded without
-        downloading the POM region, which otherwise dominates wall time
-        on runs with many failed seeds."""
+        below the move threshold); too_small=True one whose device-side
+        thresholded voxel count (engine.lane_verdicts) is below
+        min_segment_size. Both rejections are recorded without
+        downloading the POM region — those downloads otherwise dominate
+        wall time on runs with many noise seeds (the verdict count is an
+        upper bound on the post-masking count, so the outcome matches
+        the full path exactly)."""
         lane.state = _IDLE
         t_seg = time.time() - lane.t_start
         num_iters = lane.num_iters
@@ -622,6 +627,15 @@ class BatchCanvas:
                           li, int(self.segmentation[pos]))
             self.counters["seed-claimed-drops"].Increment()
             self.counters["invalid-other-time-ms"].IncrementBy(
+                t_seg * MSEC_IN_SEC)
+            return
+
+        if too_small:
+            if self.segmentation[pos] == 0:
+                self.segmentation[pos] = -1
+            self.log_info("lane %d: failed, too small (device count)",
+                          li)
+            self.counters["invalid-small-time-ms"].IncrementBy(
                 t_seg * MSEC_IN_SEC)
             return
 

@@ -240,6 +240,16 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
 
                 status_dirty = False
                 status_host = None
+                # One batched device call answers weak/too-small for
+                # every finalizing lane, skipping their region
+                # downloads (see engine.lane_verdicts).
+                v_counts = v_ok = None
+                if np.any((aux["status"] == hop_engine_lib.DONE_EMPTY)
+                          | (aux["status"] == hop_engine_lib.DONE_CAP)):
+                    v_counts, v_ok = self.engine.lane_verdicts(
+                        self._state, self._blocked_dev,
+                        self.options.segment_threshold,
+                        self.options.move_threshold)
                 for li, lane in enumerate(self._lanes):
                     if lane.state != _RUNNING:
                         continue
@@ -266,12 +276,20 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
                             status_host[li] = hop_engine_lib.RUNNING
                             status_dirty = True
                             continue
-                    if status == hop_engine_lib.DONE_WEAK:
+                    weak = status == hop_engine_lib.DONE_WEAK
+                    too_small = False
+                    if weak:
                         self.counters["seed_got_too_weak"].Increment()
-                    elif status == hop_engine_lib.DONE_CAP:
+                    elif v_counts is not None:
+                        if not v_ok[li]:
+                            weak = True
+                        elif v_counts[li] < \
+                                self.options.min_segment_size:
+                            too_small = True
+                    if status == hop_engine_lib.DONE_CAP:
                         self.counters["iter-cap-hit"].Increment()
-                    self._finalize(li, lane,
-                                   weak=status == hop_engine_lib.DONE_WEAK)
+                    self._finalize(li, lane, weak=weak,
+                                   too_small=too_small)
                 if status_dirty:
                     import dataclasses as _dc
                     import jax.numpy as _jnp

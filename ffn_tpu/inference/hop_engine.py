@@ -310,6 +310,7 @@ class HopEngine(FloodFillEngine):
             "skip_invalid": packed[:, 11].astype(np.int64),
             "skip_restricted": packed[:, 12].astype(np.int64),
             "executed": packed[:, 13].astype(np.int64),
+            "pops": packed[:, 14].astype(np.int64),
         }
         return state, aux
 
@@ -375,13 +376,15 @@ class HopEngine(FloodFillEngine):
                         jnp.where(ok, cand, pos), st, si, sr)
 
             init = (head, jnp.bool_(False), start, skip_t, skip_i, skip_r)
+            head0 = head
             head, found, pos, skip_t, skip_i, skip_r = jax.lax.while_loop(
                 cond, body, init)
+            pops = head - head0 + jnp.int32(found)
             head = head + jnp.int32(found)   # consume the chosen entry
-            return found, pos, head, skip_t, skip_i, skip_r
+            return found, pos, head, skip_t, skip_i, skip_r, pops
 
         def hop(carry):
-            state, executed_total = carry
+            state, executed_total, pops_total = carry
             lane_shapes = shapes[state.sv]   # (B, 3) actual extents
             def lane_pre(seed, sv, shape, qpos, qscore, head, tail, done,
                          start, minp, maxp, iters, status, fresh, skip_t,
@@ -403,16 +406,19 @@ class HopEngine(FloodFillEngine):
                 status = jnp.where(full, STALLED_FULL, status)
                 running = running & ~full
 
-                found, pos, head, skip_t, skip_i, skip_r = pop_one(
-                    seed, sv, shape, qpos, qscore, head, tail, done,
-                    start, fresh, running, skip_t, skip_i, skip_r)
+                found, pos, head, skip_t, skip_i, skip_r, pops = \
+                    pop_one(seed, sv, shape, qpos, qscore, head, tail,
+                            done, start, fresh, running, skip_t, skip_i,
+                            skip_r)
                 found = found & running
                 status = jnp.where(running & ~found, DONE_EMPTY, status)
                 # Clamp so the dummy slice for idle lanes is in-bounds.
                 pos = jnp.clip(pos, margin, shape - 1 - margin)
-                return pos, found, head, status, skip_t, skip_i, skip_r
+                return (pos, found, head, status, skip_t, skip_i, skip_r,
+                        pops)
 
-            pos, execute, head, status, skip_t, skip_i, skip_r = jax.vmap(
+            (pos, execute, head, status, skip_t, skip_i, skip_r,
+             pops) = jax.vmap(
                 lane_pre)(state.seeds, state.sv, lane_shapes,
                           state.qpos, state.qscore,
                           state.head, state.tail, state.done, state.start,
@@ -495,7 +501,9 @@ class HopEngine(FloodFillEngine):
                 fresh=state.fresh & ~execute,
                 overflow=overflow, skip_threshold=skip_t,
                 skip_invalid=skip_i, skip_restricted=skip_r)
-            return new_state, executed_total + execute.astype(jnp.int32)
+            return (new_state,
+                    executed_total + execute.astype(jnp.int32),
+                    pops_total + pops)
 
         # A while-loop (not lax.scan): XLA reliably updates the multi-GB
         # seed buffers in place inside while bodies, whereas a scan carry
@@ -509,10 +517,9 @@ class HopEngine(FloodFillEngine):
             carry, i = carry_i
             return hop(carry), i + 1
 
-        (state, executed), _ = jax.lax.while_loop(
-            cond, body,
-            ((state, jnp.zeros((state.head.shape[0],), jnp.int32)),
-             jnp.int32(0)))
+        zeros_b = jnp.zeros((state.head.shape[0],), jnp.int32)
+        (state, executed, pops_sum), _ = jax.lax.while_loop(
+            cond, body, ((state, zeros_b, zeros_b), jnp.int32(0)))
         packed = jnp.concatenate([
             state.status[:, None],
             state.iters[:, None],
@@ -524,8 +531,47 @@ class HopEngine(FloodFillEngine):
             state.skip_invalid[:, None],
             state.skip_restricted[:, None],
             executed[:, None],
+            pops_sum[:, None],
         ], axis=1)
         return state, packed
+
+    def lane_verdicts(self, state: LaneState, blocked: jax.Array,
+                      segment_threshold: float, move_threshold: float):
+        """One small device call per round answering, for EVERY lane:
+        (UNCLAIMED voxels >= segment_threshold in its seed buffer,
+        origin seed value >= move_threshold). Finalization uses it as a
+        pre-gate: weak or too-small lanes are rejected WITHOUT
+        downloading their region mask — on object-dense volumes those
+        downloads dominate wall time (thousands of noise seeds, each ~a
+        full host<->device round trip). Claimed voxels are excluded
+        because membrane-gap duds mostly overlap already-claimed cells;
+        the blocked volume is at most one round stale (claims only
+        grow), so the count stays an upper bound on the full path's
+        post-masking count and the gate's outcome matches it exactly.
+
+        Returns (counts (B,) int64, start_ok (B,) bool) as host arrays.
+        """
+        if blocked.ndim == 3:
+            blocked = blocked[None]
+        if not hasattr(self, "_verdict_fn"):
+            def fn(seeds, sv, starts, blocked, seg_t, move_t):
+                def one(seed, sv, start):
+                    free = (blocked[sv] & BLOCKED_CLAIMED) == 0
+                    count = jnp.sum(
+                        ((seed >= seg_t.astype(seed.dtype)) & free)
+                        .astype(jnp.int32))
+                    ok = seed[start[0], start[1], start[2]] >= \
+                        move_t.astype(seed.dtype)
+                    return count, ok
+                return jax.vmap(one, in_axes=(0, 0, 0))(seeds, sv,
+                                                        starts)
+
+            self._verdict_fn = jax.jit(fn)
+        counts, ok = self._verdict_fn(
+            state.seeds, state.sv, state.start, blocked,
+            jnp.float32(segment_threshold), jnp.float32(move_threshold))
+        return (np.asarray(counts).astype(np.int64),
+                np.asarray(ok).astype(bool))
 
     def compact_lanes(self, state: LaneState, keep) -> Optional[LaneState]:
         """Returns a new LaneState holding only the lanes in `keep`, or

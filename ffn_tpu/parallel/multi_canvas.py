@@ -165,6 +165,12 @@ class MultiSubvolumeHopDriver:
         self._slot_meta: list = [None] * self.K   # (corner, size, alignment)
         self._next_serve = 0   # round-robin cursor for seed allocation
         self.completed = 0
+        # Wall-time breakdown + occupancy accounting (driver-level;
+        # per-subvolume counters live on the slots).
+        self.stats = {"rounds": 0, "executed": 0, "lane_rounds": 0,
+                      "running_lane_rounds": 0, "t_hops": 0.0,
+                      "t_ingest": 0.0, "t_seed": 0.0, "t_load": 0.0,
+                      "t_reseed": 0.0}
 
     # -- slot loading / saving ------------------------------------------------
 
@@ -280,17 +286,21 @@ class MultiSubvolumeHopDriver:
 
     def run(self):
         """Processes every task; returns the number of saved subvolumes."""
+        import time
+
         engine = self.engine
         B = self.lanes
         init_activation = None
 
         while True:
             # 1. Save finished subvolumes, reload their slots.
+            t0 = time.time()
             for k in range(self.K):
                 if self._slot_finished(k):
                     self._save_slot(k)
                 if self.slots[k] is None:
                     self._load_next_into(k)
+            self.stats["t_load"] += time.time() - t0
             active = [k for k in range(self.K)
                       if self.slots[k] is not None]
             if not active:
@@ -300,10 +310,13 @@ class MultiSubvolumeHopDriver:
                     self.slots[active[0]].options.init_activation
 
             # 2. Refill idle lanes from whichever slots have supply.
+            t0 = time.time()
             idle = [li for li, lane in enumerate(self._lanes)
                     if lane.state == _IDLE]
             assignments = self._assign_seeds(idle, active)
+            self.stats["t_seed"] += time.time() - t0
             if assignments:
+                t0 = time.time()
                 reset_mask = np.zeros(B, bool)
                 reset_pos = np.zeros((B, 3), np.int32)
                 new_sv = np.array(self.lane_slot)
@@ -318,6 +331,7 @@ class MultiSubvolumeHopDriver:
                 self._state = engine.reseed_lanes(
                     self._state, reset_mask, reset_pos, init_activation,
                     sv=np.maximum(new_sv, 0))
+                self.stats["t_reseed"] += time.time() - t0
 
             running = [li for li, lane in enumerate(self._lanes)
                        if lane.state == _RUNNING]
@@ -334,14 +348,34 @@ class MultiSubvolumeHopDriver:
                     break
                 continue
 
-            # 3. One fused device round across all subvolumes.
+            # 3. One fused device round across all subvolumes. Rounds
+            # that just reseeded many lanes run short: fresh seeds have
+            # unknown lifetimes (half of PolicyPeaks' noise seeds die on
+            # hop 1), and a dead lane wastes its conv slot for the rest
+            # of the round.
+            hops = self.hops
+            if len(assignments) > max(1, B // 4):
+                hops = max(1, self.hops // 4)
+            t0 = time.time()
             self._state, aux = engine.run_hops(
                 self._image_dev, self._blocked_dev, self._state,
-                self.hops, self.max_iters_per_segment,
+                hops, self.max_iters_per_segment,
                 shapes=self.shapes)
+            self.stats["t_hops"] += time.time() - t0
+            self.stats["rounds"] += 1
+            self.stats["executed"] += int(aux["executed"].sum())
+            self.stats["pops"] = self.stats.get("pops", 0) + int(
+                aux["pops"].sum())
+            self.stats["max_lane_pops"] = max(
+                self.stats.get("max_lane_pops", 0),
+                int(aux["pops"].max()))
+            self.stats["lane_rounds"] += B
+            self.stats["running_lane_rounds"] += len(running)
 
             # 4. Ingest, routing each lane to its owning slot.
+            t0 = time.time()
             self._ingest(aux)
+            self.stats["t_ingest"] += time.time() - t0
 
         return self.completed
 
@@ -362,6 +396,16 @@ class MultiSubvolumeHopDriver:
 
         status_host = None
         status_dirty = False
+        # Batched weak/too-small verdicts for finalizing lanes (skips
+        # their region downloads; identical outcomes to the full path).
+        v_counts = v_ok = None
+        if np.any((aux["status"] == hop_engine_lib.DONE_EMPTY)
+                  | (aux["status"] == hop_engine_lib.DONE_CAP)):
+            any_slot = next(s for s in self.slots if s is not None)
+            v_counts, v_ok = self.engine.lane_verdicts(
+                self._state, self._blocked_dev,
+                any_slot.options.segment_threshold,
+                any_slot.options.move_threshold)
         for li, lane in enumerate(self._lanes):
             if lane.state != _RUNNING:
                 continue
@@ -394,12 +438,18 @@ class MultiSubvolumeHopDriver:
                     status_host[li] = hop_engine_lib.RUNNING
                     status_dirty = True
                     continue
-            if status == hop_engine_lib.DONE_WEAK:
+            weak = status == hop_engine_lib.DONE_WEAK
+            too_small = False
+            if weak:
                 slot.counters["seed_got_too_weak"].Increment()
-            elif status == hop_engine_lib.DONE_CAP:
+            elif v_counts is not None:
+                if not v_ok[li]:
+                    weak = True
+                elif v_counts[li] < slot.options.min_segment_size:
+                    too_small = True
+            if status == hop_engine_lib.DONE_CAP:
                 slot.counters["iter-cap-hit"].Increment()
-            slot._finalize(li, lane,
-                           weak=status == hop_engine_lib.DONE_WEAK)
+            slot._finalize(li, lane, weak=weak, too_small=too_small)
         if status_dirty:
             self._state = _dc.replace(self._state,
                                       status=_jnp.asarray(status_host))

@@ -89,10 +89,39 @@ def main():
         runner.canvas_defaults["max_iters_per_segment"] = max_iters
     runner.start(request)
 
+    from ffn_tpu.parallel import multi_canvas
+    stats_box = {}
+    orig_run = multi_canvas.MultiSubvolumeHopDriver.run
+
+    def run_and_capture(self):
+        try:
+            return orig_run(self)
+        finally:
+            stats_box.update(self.stats)
+
+    multi_canvas.MultiSubvolumeHopDriver.run = run_and_capture
     t0 = time.time()
     done = driver.run_worker_fused(runner=runner, lanes=lanes,
                                    slots=slots, hops=hops)
     wall = time.time() - t0
+    multi_canvas.MultiSubvolumeHopDriver.run = orig_run
+    if stats_box:
+        r = stats_box
+        print(json.dumps({
+            "metric": "e2e_fused_breakdown",
+            "rounds": r["rounds"], "executed": r["executed"],
+            "occupancy_running": round(
+                r["running_lane_rounds"] / max(r["lane_rounds"], 1), 3),
+            "moves_per_running_lane_round": round(
+                r["executed"] / max(r["running_lane_rounds"], 1), 2),
+            "t_hops_s": round(r["t_hops"], 1),
+            "t_ingest_s": round(r["t_ingest"], 1),
+            "t_seed_s": round(r["t_seed"], 1),
+            "t_reseed_s": round(r["t_reseed"], 1),
+            "t_load_s": round(r["t_load"], 1),
+            "pops_total": r.get("pops", 0),
+            "max_lane_pops_per_round": r.get("max_lane_pops", 0),
+        }), flush=True)
 
     # Sub-counters propagate to the runner's root counters.
     fovs = runner.counters["fov-moves"].value

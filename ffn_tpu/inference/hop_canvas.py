@@ -52,12 +52,13 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
     _allocate_seed_batch = False   # LaneState replaces _seeds_dev
 
     def __init__(self, model_info, engine, image, options, hops: int = 16,
-                 **kwargs):
+                 seed_screening: bool = True, **kwargs):
         if not isinstance(engine, hop_engine_lib.HopEngine):
             raise TypeError("HopBatchCanvas requires a HopEngine")
         kwargs.pop("candidates_per_step", None)
         super().__init__(model_info, engine, image, options, **kwargs)
         self.hops = int(hops)
+        self.seed_screening = bool(seed_screening)
         # The per-lane device buffers replace BatchCanvas's _seeds_dev.
         self._seeds_dev = None
         self._state = engine.init_lane_state(self.lanes, self.shape)
@@ -114,6 +115,61 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
         start = [s.start for s in sel]
         self._blocked_dev = self.engine.update_blocked_region(
             self._blocked_dev, start, region)
+
+    # -- seed pre-screening ---------------------------------------------------
+
+    def _assign_fresh_seeds(self, seed_iter, seeds_exhausted):
+        """BatchCanvas._assign_fresh_seeds plus device pre-screening:
+        candidates whose FIRST FFN update leaves the origin below the
+        move threshold (the DONE_WEAK outcome) are rejected in one conv
+        batch instead of occupying a lane for a round — about half of
+        PolicyPeaks' seeds on membrane-noise peaks. Dud outcomes match
+        the lane path (origin poisoned, weak counter); surplus strong
+        seeds are cached and revalidated before use."""
+        if not self.seed_screening:
+            return super()._assign_fresh_seeds(seed_iter,
+                                               seeds_exhausted)
+        idle = [li for li, lane in enumerate(self._lanes)
+                if lane.state == _IDLE]
+        assignments = []
+        ready = getattr(self, "_screened_ready", None)
+        if ready is None:
+            ready = self._screened_ready = []
+        while idle and ready:
+            pos = ready.pop(0)
+            if not self._valid_seed_pos(tuple(pos)):
+                continue
+            assignments.append((idle.pop(0), pos))
+
+        while idle:
+            # Draw even when the policy is exhausted: deferred seeds
+            # (postponed while another lane flooded their region) are
+            # retried inside _draw_seeds; the loop ends when a draw
+            # comes back empty. lanes=1 keeps strict draw order (no
+            # batch-ahead): the exact-serial-parity contract forbids
+            # the deferral reordering a lookahead batch can introduce.
+            demand = min(2 * len(idle) + 8, self.engine.SCREEN_BATCH) \
+                if self.lanes > 1 else 1
+            cands, seeds_exhausted = self._draw_seeds(
+                demand, seed_iter, seeds_exhausted,
+                relax_threshold=self.lanes // 2)
+            if not cands:
+                break
+            strong = self.engine.screen_seeds(
+                self._image_dev, np.array(cands, np.int32),
+                self.options.init_activation)
+            for pos, ok in zip(cands, strong):
+                if not ok:
+                    p = tuple(int(v) for v in pos)
+                    if self.segmentation[p] == 0:
+                        self.segmentation[p] = -1
+                    self.counters["seed_got_too_weak"].Increment()
+                    self.counters["screened-weak-seeds"].Increment()
+                elif idle:
+                    assignments.append((idle.pop(0), pos))
+                else:
+                    ready.append(pos)
+        return assignments, seeds_exhausted
 
     # -- main loop -------------------------------------------------------------
 

@@ -535,6 +535,69 @@ class HopEngine(FloodFillEngine):
         ], axis=1)
         return state, packed
 
+    SCREEN_BATCH = 256
+
+    def screen_seeds(self, image: jax.Array, positions: np.ndarray,
+                     init_activation: float,
+                     sv: Optional[np.ndarray] = None) -> np.ndarray:
+        """Batched dud-seed screening: evaluates the FIRST FFN update for
+        each candidate seed (fresh canvas, init activation at the
+        center) and returns whether the origin stays above the move
+        threshold — exactly the check that would kill the lane as
+        DONE_WEAK on its second pop. About half of PolicyPeaks' seeds on
+        membrane-noise peaks fail it; screening them in one conv batch
+        costs one hop-equivalent per SCREEN_BATCH candidates instead of
+        a lane slot each for a whole round.
+
+        image: (Z, Y, X) volume or (K, Z, Y, X) stack; sv gives each
+        candidate's slot (default 0). Returns (N,) bool (True = strong).
+        """
+        if image.ndim == 3:
+            image = image[None]
+        positions = np.asarray(positions, np.int32).reshape(-1, 3)
+        N = len(positions)
+        if sv is None:
+            sv = np.zeros(N, np.int32)
+        if not hasattr(self, "_screen_fn"):
+            margin = np.array([s // 2 for s in self._image_size],
+                              np.int32)
+            seed_off = np.array([s // 2 for s in self._seed_size],
+                                np.int32)
+            pred_c = tuple(s // 2 for s in self._pred_size)
+
+            def fn(image, pos, sv, opts, init_act):
+                fresh = jnp.full(self._seed_size, jnp.nan, jnp.float32)
+                fresh = fresh.at[tuple(seed_off)].set(init_act)
+
+                def one(p, s):
+                    img = jax.lax.dynamic_slice(
+                        image, jnp.concatenate([s[None], p - margin]),
+                        (1,) + tuple(self._image_size))[0]
+                    logits = self._apply_model(img, fresh, opts)
+                    return logits[pred_c] >= opts[1]
+
+                return jax.vmap(one)(pos, sv)
+
+            self._screen_fn = jax.jit(fn)
+
+        out = np.zeros(N, bool)
+        B = self.SCREEN_BATCH
+        opts = jnp.asarray(self._opts_host)
+        for i in range(0, N, B):
+            chunk = positions[i:i + B]
+            chunk_sv = np.asarray(sv[i:i + B], np.int32)
+            n = len(chunk)
+            if n < B:   # pad to the fixed batch (one compiled program)
+                chunk = np.concatenate(
+                    [chunk, np.tile(chunk[-1:], (B - n, 1))])
+                chunk_sv = np.concatenate(
+                    [chunk_sv, np.tile(chunk_sv[-1:], B - n)])
+            strong = self._screen_fn(
+                image, jnp.asarray(chunk), jnp.asarray(chunk_sv), opts,
+                jnp.float32(init_activation))
+            out[i:i + B] = np.asarray(strong)[:n]
+        return out
+
     def lane_verdicts(self, state: LaneState, blocked: jax.Array,
                       segment_threshold: float, move_threshold: float):
         """One small device call per round answering, for EVERY lane:

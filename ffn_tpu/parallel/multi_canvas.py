@@ -70,6 +70,7 @@ class SlotCanvas(hop_canvas_lib.HopBatchCanvas):
         self._lanes = driver._lanes   # global lane objects (shared)
         self.seed_iter = None
         self.seeds_exhausted = False
+        self.screened_ready = []   # pre-screened strong seeds (driver)
 
     # Device state lives on the driver; HopBatchCanvas methods
     # (drain/spill/requeue, region downloads) see it through this
@@ -253,33 +254,94 @@ class MultiSubvolumeHopDriver:
         the slot after the last one served (fair under scarcity). The
         relaxed-deferral threshold is 0: whenever supply is short,
         speculative flooding of deferred seeds beats hollow batches —
-        idle conv slots donate the duplicate compute."""
+        idle conv slots donate the duplicate compute.
+
+        Candidates are PRE-SCREENED on device (engine.screen_seeds):
+        about half of PolicyPeaks' seeds fail their first FFN update
+        (membrane-noise peaks) — screening them in one conv batch costs
+        one hop-equivalent per 256 candidates instead of a lane slot
+        each for a whole round. Duds get the same weak-seed outcome the
+        lane path would record; surplus strong seeds are cached on the
+        slot and revalidated (claims may have landed) before use."""
+        import time as _time
+
         assignments = []   # (lane_index, slot_index, pos)
         remaining = list(idle)
         order = [k for k in
                  list(range(self._next_serve, self.K))
                  + list(range(self._next_serve))
                  if k in active]
-        # Two passes: an even share first, then leftovers to whichever
-        # slots still have supply.
-        for relax in (False, True):
-            if not remaining or not order:
-                break
-            share = max(1, len(remaining) // len(order)) \
-                if not relax else len(remaining)
-            for k in order:
-                if not remaining:
+        if not order:
+            return assignments
+
+        # 1. Cached pre-screened survivors first.
+        for k in order:
+            slot = self.slots[k]
+            ready = getattr(slot, "screened_ready", None) or []
+            while remaining and ready:
+                pos = ready.pop(0)
+                if not slot._valid_seed_pos(tuple(pos)):
+                    continue   # claimed since screening
+                li = remaining.pop(0)
+                assignments.append((li, k, pos))
+            slot.screened_ready = ready
+
+        # 2. Draw, screen in one batch, assign survivors; repeat while
+        # demand and supply remain.
+        exhausted_all = False
+        while remaining and not exhausted_all:
+            demand = min(2 * len(remaining) + 8,
+                         self.engine.SCREEN_BATCH)
+            cands = []   # (slot_index, pos)
+            for relax in (False, True):
+                if len(cands) >= demand:
                     break
+                share = max(1, (demand - len(cands)) // len(order)) \
+                    if not relax else demand - len(cands)
+                got_any = False
+                for k in order:
+                    if len(cands) >= demand:
+                        break
+                    slot = self.slots[k]
+                    seeds, slot.seeds_exhausted = slot._draw_seeds(
+                        min(share, demand - len(cands)), slot.seed_iter,
+                        slot.seeds_exhausted,
+                        relax_threshold=0 if relax else None)
+                    for pos in seeds:
+                        cands.append((k, pos))
+                    if seeds:
+                        got_any = True
+                        self._next_serve = (k + 1) % self.K
+            if not cands:
+                break
+            exhausted_all = all(self.slots[k].seeds_exhausted
+                                and not self.slots[k]._deferred
+                                for k in order)
+
+            positions = np.array([p for _, p in cands], np.int32)
+            sv = np.array([k for k, _ in cands], np.int32)
+            init_act = self.slots[order[0]].options.init_activation
+            t_s = _time.time()
+            strong = self.engine.screen_seeds(self._image_dev, positions,
+                                              init_act, sv=sv)
+            self.stats["t_screen"] = self.stats.get("t_screen", 0.0) \
+                + _time.time() - t_s
+            for (k, pos), ok in zip(cands, strong):
                 slot = self.slots[k]
-                n = min(share, len(remaining))
-                seeds, slot.seeds_exhausted = slot._draw_seeds(
-                    n, slot.seed_iter, slot.seeds_exhausted,
-                    relax_threshold=0 if relax else None)
-                for pos in seeds:
+                if not ok:
+                    # Same outcome the lane path records for a weak
+                    # seed, minus the wasted lane-round.
+                    p = tuple(int(v) for v in pos)
+                    if slot.segmentation[p] == 0:
+                        slot.segmentation[p] = -1
+                    slot.counters["seed_got_too_weak"].Increment()
+                    slot.counters["screened-weak-seeds"].Increment()
+                    continue
+                if remaining:
                     li = remaining.pop(0)
                     assignments.append((li, k, pos))
-                if seeds:
-                    self._next_serve = (k + 1) % self.K
+                else:
+                    slot.screened_ready.append(pos)
         return assignments
 
     # -- main loop ------------------------------------------------------------
@@ -348,20 +410,18 @@ class MultiSubvolumeHopDriver:
                     break
                 continue
 
-            # 3. One fused device round across all subvolumes. Rounds
-            # that just reseeded many lanes run short: fresh seeds have
-            # unknown lifetimes (half of PolicyPeaks' noise seeds die on
-            # hop 1), and a dead lane wastes its conv slot for the rest
-            # of the round.
+            # 3. One fused device round across all subvolumes. (No
+            # short-round heuristic here: seed pre-screening already
+            # culls the weak seeds that made fresh rounds wasteful.)
             hops = self.hops
-            if len(assignments) > max(1, B // 4):
-                hops = max(1, self.hops // 4)
             t0 = time.time()
             self._state, aux = engine.run_hops(
                 self._image_dev, self._blocked_dev, self._state,
                 hops, self.max_iters_per_segment,
                 shapes=self.shapes)
-            self.stats["t_hops"] += time.time() - t0
+            dt = time.time() - t0
+            self.stats["t_hops"] += dt
+            self.stats.setdefault("round_times", []).append((hops, dt))
             self.stats["rounds"] += 1
             self.stats["executed"] += int(aux["executed"].sum())
             self.stats["pops"] = self.stats.get("pops", 0) + int(

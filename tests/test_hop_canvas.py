@@ -130,7 +130,11 @@ def test_tail_compaction_preserves_results():
     # A 1-round window so the short post-exhaustion tail of this small
     # fixture still exercises compaction (production keeps the longer
     # default window).
-    hc = run_hop(lanes=12, hops=4, compact_window=1)
+    # seed_screening=False: with pre-screened seeds this small fixture
+    # finishes before a post-exhaustion idle tail can form; compaction
+    # targets exactly the unscreened tail dynamics.
+    hc = run_hop(lanes=12, hops=4, compact_window=1,
+                 seed_screening=False)
     assert hc.lanes < 12, "compaction did not trigger"
     a = np.maximum(hc.segmentation, 0)
     b = np.maximum(ref.segmentation, 0)

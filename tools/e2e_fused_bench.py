@@ -118,9 +118,18 @@ def main():
             "t_ingest_s": round(r["t_ingest"], 1),
             "t_seed_s": round(r["t_seed"], 1),
             "t_reseed_s": round(r["t_reseed"], 1),
+            "t_screen_s": round(r.get("t_screen", 0.0), 1),
             "t_load_s": round(r["t_load"], 1),
             "pops_total": r.get("pops", 0),
             "max_lane_pops_per_round": r.get("max_lane_pops", 0),
+            # Median per-round device time per hop count: robust to
+            # in-run compiles and tunnel/multi-tenant noise spikes.
+            "median_round_ms_by_hops": {
+                str(h): round(1000 * float(np.median(
+                    [d for hh, d in r.get("round_times", [])
+                     if hh == h])), 1)
+                for h in sorted({hh for hh, _ in
+                                 r.get("round_times", [])})},
         }), flush=True)
 
     # Sub-counters propagate to the runner's root counters.

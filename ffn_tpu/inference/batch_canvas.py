@@ -346,12 +346,16 @@ class BatchCanvas:
 
         def near_available(cand):
             # Two seeds assigned in the same round must not target the
-            # same region either (consecutive seeds cluster).
-            for picked in available:
-                if np.all(np.abs(np.asarray(cand)
-                                 - picked) <= self._pred_size):
-                    return True
-            return False
+            # same region either (consecutive seeds cluster). One
+            # broadcast test against everything picked so far (the
+            # pairwise python loop was a measurable slice of per-round
+            # host time at production lane counts).
+            if not available:
+                return False
+            picked = np.asarray(available)
+            return bool(np.any(np.all(
+                np.abs(picked - np.asarray(cand)) <= self._pred_size,
+                axis=1)))
 
         boxes = self._active_lane_boxes()
         # Retry seeds deferred earlier (their region was being flooded

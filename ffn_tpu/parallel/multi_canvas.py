@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import os
 from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Sequence
 
 from absl import logging
@@ -165,6 +166,8 @@ class MultiSubvolumeHopDriver:
         self.slots: list = [None] * self.K
         self._slot_meta: list = [None] * self.K   # (corner, size, alignment)
         self._next_serve = 0   # round-robin cursor for seed allocation
+        self._policy_pool = ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="seed-policy")
         self.completed = 0
         # Wall-time breakdown + occupancy accounting (driver-level;
         # per-subvolume counters live on the slots).
@@ -217,6 +220,11 @@ class MultiSubvolumeHopDriver:
             slot.seed_policy = policy(slot)
             slot.seed_iter = iter(slot.seed_policy)
             slot.seeds_exhausted = False
+            # Materialize the policy's coordinates (sobel/EDT/peaks,
+            # ~1.5 s host work per subvolume) off-thread so it overlaps
+            # device rounds; _assign_seeds joins before the first draw.
+            slot._policy_fut = self._policy_pool.submit(
+                slot.seed_policy._materialize)
             logging.info("slot %d <- subvolume %r size %r (%d pending)",
                          k, corner, size, len(self.tasks))
             return True
@@ -273,6 +281,19 @@ class MultiSubvolumeHopDriver:
                  if k in active]
         if not order:
             return assignments
+        # Prefer slots whose policy coords are already materialized;
+        # only block on a pending one when it is the sole supply.
+        ready = [k for k in order
+                 if getattr(self.slots[k], "_policy_fut", None) is None
+                 or self.slots[k]._policy_fut.done()]
+        if ready:
+            order = ready + [k for k in order if k not in ready]
+
+        def join_policy(slot):
+            fut = getattr(slot, "_policy_fut", None)
+            if fut is not None:
+                fut.result()
+                slot._policy_fut = None
 
         # 1. Cached pre-screened survivors first.
         for k in order:
@@ -303,10 +324,14 @@ class MultiSubvolumeHopDriver:
                     if len(cands) >= demand:
                         break
                     slot = self.slots[k]
+                    join_policy(slot)
+                    t_d = _time.time()
                     seeds, slot.seeds_exhausted = slot._draw_seeds(
                         min(share, demand - len(cands)), slot.seed_iter,
                         slot.seeds_exhausted,
                         relax_threshold=0 if relax else None)
+                    self.stats["t_draw"] = self.stats.get(
+                        "t_draw", 0.0) + _time.time() - t_d
                     for pos in seeds:
                         cands.append((k, pos))
                     if seeds:
@@ -326,6 +351,10 @@ class MultiSubvolumeHopDriver:
                                               init_act, sv=sv)
             self.stats["t_screen"] = self.stats.get("t_screen", 0.0) \
                 + _time.time() - t_s
+            self.stats["screen_calls"] = self.stats.get(
+                "screen_calls", 0) + 1
+            self.stats["screen_cands"] = self.stats.get(
+                "screen_cands", 0) + len(cands)
             for (k, pos), ok in zip(cands, strong):
                 slot = self.slots[k]
                 if not ok:

@@ -119,6 +119,9 @@ def main():
             "t_seed_s": round(r["t_seed"], 1),
             "t_reseed_s": round(r["t_reseed"], 1),
             "t_screen_s": round(r.get("t_screen", 0.0), 1),
+            "t_draw_s": round(r.get("t_draw", 0.0), 1),
+            "screen_calls": r.get("screen_calls", 0),
+            "screen_cands": r.get("screen_cands", 0),
             "t_load_s": round(r["t_load"], 1),
             "pops_total": r.get("pops", 0),
             "max_lane_pops_per_round": r.get("max_lane_pops", 0),

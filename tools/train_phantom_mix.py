@@ -13,6 +13,14 @@ Env knobs:
   MIX_INIT_FROM  train-dir ckpt directory to warm start from (copies the
                  latest model/opt/extra trio; default: fresh start)
   MIX_STEPS      total step budget incl. warm-start steps (default 5000)
+  MIX_MORPHS     which morphologies to train on: "ab" (50/50 mix,
+                 default), "a", or "b". Measured round 3: the 50/50 mix
+                 at full LR catastrophically interferes (held-out A
+                 agreement 0.9833 -> ~0 after 1250 mix steps), so the
+                 production recipe is ONE CHECKPOINT PER FAMILY via
+                 MIX_MORPHS=b warm-started from the A checkpoint —
+                 exactly the reference's per-dataset checkpoint model
+                 (ref models/fib25/README.md).
   MIX_BATCH (128), MIX_SIZE (200), MIX_WORKDIR (/tmp/ph_r3_mix),
   MIX_LR (1e-3), MIX_DEPTH (12)
 """
@@ -89,11 +97,15 @@ def main():
     workdir = os.environ.get("MIX_WORKDIR", "/tmp/ph_r3_mix")
     os.makedirs(workdir, exist_ok=True)
 
+    morphs = os.environ.get("MIX_MORPHS", "ab")
+
     # Training volumes (seed 7 = the training family; eval phantoms use
     # other seeds).
     vols = {}
     for name, maker in (("a", synthetic_em.make_volume),
                         ("b", synthetic_em.make_volume_b)):
+        if name not in morphs:
+            continue
         path = os.path.join(workdir, f"train_{name}_{size}.h5")
         vols[name] = path
         if os.path.exists(path):
@@ -109,7 +121,8 @@ def main():
 
     # Balanced 50/50 mixed coordinate stream, long enough that the
     # warm start's consumed-cursor fast-forward never exhausts it.
-    coords_path = os.path.join(workdir, "coords_mix.npz")
+    coords_path = os.path.join(workdir, f"coords_mix_{morphs}.npz") \
+        if morphs != "ab" else os.path.join(workdir, "coords_mix.npz")
     if not os.path.exists(coords_path):
         parts = []
         for name in vols:

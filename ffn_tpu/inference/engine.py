@@ -486,6 +486,71 @@ class FloodFillEngine:
             jnp.asarray(self._opts_host))
         return np.asarray(mask), start, bool(start_ok)
 
+    def lane_mask_regions(self, seeds: jax.Array, lanes, starts_zyx,
+                          sizes_zyx, seg_threshold: float,
+                          start_positions):
+        """Batched lane_mask_region: ONE device call + host transfer per
+        distinct (shape bucket, count bucket) instead of one per lane.
+        Finalization downloads dominate ingest wall time on object-dense
+        rounds (each per-lane call pays a full tunnel round trip); a
+        round's finalizers usually share one or two shape buckets, so
+        this collapses ~dozens of round trips into a couple.
+
+        Returns a list of (mask uint8, actual_start, start_ok) in input
+        order — element i identical to lane_mask_region(lanes[i], ...).
+        """
+        shape = seeds.shape[1:]
+        n = len(lanes)
+        groups = {}
+        results = [None] * n
+        for i in range(n):
+            bucket = tuple(min(s, ((int(v) + 63) // 64) * 64)
+                           for v, s in zip(sizes_zyx[i], shape))
+            start = np.minimum(
+                np.maximum(np.asarray(starts_zyx[i], np.int64), 0),
+                np.array(shape) - np.array(bucket))
+            groups.setdefault(bucket, []).append(
+                (i, int(lanes[i]), start,
+                 np.asarray(start_positions[i], np.int64)))
+
+        cache = getattr(self, "_mask_regions_fns", None)
+        if cache is None:
+            cache = self._mask_regions_fns = {}
+        for bucket, items in groups.items():
+            # Count bucketed to powers of two so only a few batch sizes
+            # ever compile; the pad repeats the last entry.
+            m = len(items)
+            mpad = 1 << (m - 1).bit_length()
+            key = (bucket, mpad)
+            if key not in cache:
+                def fn(seeds, lis, starts, thr, sposs, opts,
+                       _bucket=bucket):
+                    def one(li, start, spos):
+                        lane_buf = jax.lax.dynamic_index_in_dim(
+                            seeds, li, axis=0, keepdims=False)
+                        region = jax.lax.dynamic_slice(lane_buf, start,
+                                                       _bucket)
+                        mask = (region >= thr.astype(region.dtype)
+                                ).astype(jnp.uint8)
+                        sv = lane_buf[spos[0], spos[1], spos[2]]
+                        return mask, sv >= opts[1].astype(sv.dtype)
+
+                    return jax.vmap(one)(lis, starts, sposs)
+
+                cache[key] = jax.jit(fn)
+            pad = items + [items[-1]] * (mpad - m)
+            lis = jnp.asarray([it[1] for it in pad], jnp.int32)
+            sts = jnp.asarray(np.stack([it[2] for it in pad]), jnp.int32)
+            sps = jnp.asarray(np.stack([it[3] for it in pad]), jnp.int32)
+            masks, oks = cache[key](seeds, lis, sts,
+                                    jnp.float32(seg_threshold), sps,
+                                    jnp.asarray(self._opts_host))
+            masks = np.asarray(masks)
+            oks = np.asarray(oks)
+            for j, (i, _, start, _) in enumerate(items):
+                results[i] = (masks[j], start, bool(oks[j]))
+        return results
+
     def set_lane_seed_region(self, seeds: jax.Array, lane: int, start_zyx,
                              region: np.ndarray) -> jax.Array:
         """Uploads a sub-box into one lane's seed buffer (checkpoint

@@ -106,6 +106,14 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
                                             sel_start, size_zyx)
 
     def _lane_mask_region(self, li, sel_start, size_zyx, start_pos):
+        # Ingest loops prefetch all of a round's finalization downloads
+        # in one batched device call (engine.lane_mask_regions); consume
+        # that result here when present.
+        cache = getattr(self, "_mask_region_cache", None)
+        if cache:
+            cached = cache.pop(li, None)
+            if cached is not None:
+                return cached
         return self.engine.lane_mask_region(
             self._state.seeds, li, sel_start, size_zyx,
             self.options.segment_threshold, start_pos)

@@ -495,6 +495,52 @@ class MultiSubvolumeHopDriver:
                 self._state, self._blocked_dev,
                 any_slot.options.segment_threshold,
                 any_slot.options.move_threshold)
+
+            # Prefetch the round's finalization downloads in ONE batched
+            # device call (engine.lane_mask_regions) instead of one
+            # round trip per object. Candidates: lanes that will reach
+            # the download in the loop below (done, verdict-approved,
+            # seed not already claimed). A lane claimed later in this
+            # round's sequential arbitration wastes its prefetch —
+            # harmless; _finalize remains the arbiter.
+            cand = []
+            pred_half = None
+            for li, lane in enumerate(self._lanes):
+                if lane.state != _RUNNING:
+                    continue
+                status = int(aux["status"][li])
+                if status not in (hop_engine_lib.DONE_EMPTY,
+                                  hop_engine_lib.DONE_CAP):
+                    continue
+                if status == hop_engine_lib.DONE_EMPTY and lane.spill:
+                    continue   # likely requeued, stays running
+                if int(aux["iters"][li]) <= 0 or not v_ok[li]:
+                    continue
+                slot = self.slots[self.lane_slot[li]]
+                if v_counts[li] < slot.options.min_segment_size:
+                    continue
+                pos = tuple(int(v) for v in lane.start_pos)
+                if slot.segmentation[pos] > 0:
+                    continue   # seed-claimed drop, no download needed
+                if pred_half is None:
+                    pred_half = slot._pred_size // 2
+                minp = np.minimum(lane.min_pos, aux["minp"][li])
+                maxp = np.maximum(lane.max_pos, aux["maxp"][li])
+                sel_start = np.maximum(minp - pred_half, 0)
+                sel_end = np.minimum(maxp + pred_half + 1, slot.shape)
+                cand.append((li, slot, sel_start, sel_end - sel_start,
+                             pos))
+            if cand:
+                regions = self.engine.lane_mask_regions(
+                    self._state.seeds, [c[0] for c in cand],
+                    [c[2] for c in cand], [c[3] for c in cand],
+                    any_slot.options.segment_threshold,
+                    [c[4] for c in cand])
+                for (li, slot, *_), res in zip(cand, regions):
+                    cache = getattr(slot, "_mask_region_cache", None)
+                    if cache is None:
+                        cache = slot._mask_region_cache = {}
+                    cache[li] = res
         for li, lane in enumerate(self._lanes):
             if lane.state != _RUNNING:
                 continue
@@ -542,3 +588,11 @@ class MultiSubvolumeHopDriver:
         if status_dirty:
             self._state = _dc.replace(self._state,
                                       status=_jnp.asarray(status_host))
+        # Prefetched downloads whose lane never reached _finalize's
+        # download (e.g. seed claimed during this round's sequential
+        # arbitration) must not leak into later rounds where the same
+        # lane index holds a different object.
+        for slot in self.slots:
+            if slot is not None and getattr(slot, "_mask_region_cache",
+                                            None):
+                slot._mask_region_cache.clear()

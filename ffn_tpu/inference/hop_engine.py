@@ -270,7 +270,7 @@ class HopEngine(FloodFillEngine):
 
     def run_hops(self, image: jax.Array, blocked: jax.Array,
                  state: LaneState, hops: int, max_iters: int = 0,
-                 shapes: Optional[np.ndarray] = None):
+                 shapes: Optional[np.ndarray] = None, sync: bool = True):
         """Executes up to `hops` FFN moves per running lane on device.
 
         image/blocked are (Z, Y, X) volumes or (K, Z, Y, X) stacks of K
@@ -296,6 +296,17 @@ class HopEngine(FloodFillEngine):
         state, packed = self._run_hops_cache[key](
             image, blocked, state, jnp.asarray(self._opts_host),
             jnp.asarray(shapes, jnp.int32))
+        if not sync:
+            # Async round pipelining: the caller materializes later via
+            # unpack_aux (the device keeps executing; the host can
+            # dispatch more work — e.g. seed screening — meanwhile).
+            return state, packed
+        return state, self.unpack_aux(packed)
+
+    @staticmethod
+    def unpack_aux(packed) -> dict:
+        """Materializes run_hops' packed per-lane aux into host arrays
+        (blocks until the device round has finished)."""
         # int32 end to end: casting cumulative counters through f32 would
         # lose exactness above 2^24 on long unlimited-iteration lanes.
         packed = np.asarray(packed)
@@ -312,7 +323,7 @@ class HopEngine(FloodFillEngine):
             "executed": packed[:, 13].astype(np.int64),
             "pops": packed[:, 14].astype(np.int64),
         }
-        return state, aux
+        return aux
 
     def _run_hops_impl(self, image, blocked, state: LaneState, opts,
                        shapes, *, hops, max_iters):
@@ -582,21 +593,45 @@ class HopEngine(FloodFillEngine):
 
         out = np.zeros(N, bool)
         B = self.SCREEN_BATCH
-        opts = jnp.asarray(self._opts_host)
         for i in range(0, N, B):
-            chunk = positions[i:i + B]
-            chunk_sv = np.asarray(sv[i:i + B], np.int32)
-            n = len(chunk)
-            if n < B:   # pad to the fixed batch (one compiled program)
-                chunk = np.concatenate(
-                    [chunk, np.tile(chunk[-1:], (B - n, 1))])
-                chunk_sv = np.concatenate(
-                    [chunk_sv, np.tile(chunk_sv[-1:], B - n)])
-            strong = self._screen_fn(
-                image, jnp.asarray(chunk), jnp.asarray(chunk_sv), opts,
-                jnp.float32(init_activation))
+            strong = self.screen_seeds_async(
+                image, positions[i:i + B], init_activation,
+                sv=np.asarray(sv[i:i + B], np.int32))
+            n = min(B, N - i)
             out[i:i + B] = np.asarray(strong)[:n]
         return out
+
+    def screen_seeds_async(self, image: jax.Array, positions: np.ndarray,
+                           init_activation: float,
+                           sv: Optional[np.ndarray] = None) -> jax.Array:
+        """Dispatches ONE padded screen batch (<= SCREEN_BATCH
+        candidates) and returns the device bool array WITHOUT
+        materializing — callers pipeline the screen behind an in-flight
+        hop round and collect with np.asarray at the next boundary.
+        Element i of the result corresponds to positions[i]; the pad
+        tail repeats the last candidate and must be discarded.
+        """
+        if image.ndim == 3:
+            image = image[None]
+        if not hasattr(self, "_screen_fn"):
+            self.screen_seeds(image, np.zeros((0, 3), np.int32),
+                              init_activation)   # builds _screen_fn
+        positions = np.asarray(positions, np.int32).reshape(-1, 3)
+        n = len(positions)
+        B = self.SCREEN_BATCH
+        if n > B or n == 0:
+            raise ValueError(f"screen_seeds_async takes 1..{B} "
+                             f"candidates, got {n}")
+        if sv is None:
+            sv = np.zeros(n, np.int32)
+        sv = np.asarray(sv, np.int32)
+        if n < B:   # pad to the fixed batch (one compiled program)
+            positions = np.concatenate(
+                [positions, np.tile(positions[-1:], (B - n, 1))])
+            sv = np.concatenate([sv, np.tile(sv[-1:], B - n)])
+        return self._screen_fn(
+            image, jnp.asarray(positions), jnp.asarray(sv),
+            jnp.asarray(self._opts_host), jnp.float32(init_activation))
 
     def lane_verdicts(self, state: LaneState, blocked: jax.Array,
                       segment_threshold: float, move_threshold: float):

@@ -166,6 +166,7 @@ class MultiSubvolumeHopDriver:
         self.slots: list = [None] * self.K
         self._slot_meta: list = [None] * self.K   # (corner, size, alignment)
         self._next_serve = 0   # round-robin cursor for seed allocation
+        self._pending_screens = []   # in-flight dud-screen batches
         self._policy_pool = ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="seed-policy")
         self.completed = 0
@@ -236,6 +237,11 @@ class MultiSubvolumeHopDriver:
             return False
         if not slot.seeds_exhausted or slot._deferred:
             return False
+        if getattr(slot, "screened_ready", None):
+            return False   # banked strong seeds still to flood
+        if any(ref is slot for cands, _ in self._pending_screens
+               for _, ref, _ in cands):
+            return False   # screen verdicts still in flight
         return not any(
             lane.state == _RUNNING
             for li, lane in enumerate(self._lanes)
@@ -257,46 +263,33 @@ class MultiSubvolumeHopDriver:
 
     # -- seed scheduling ------------------------------------------------------
 
-    def _assign_seeds(self, idle, active):
-        """Distributes idle lanes across active slots, round-robin from
-        the slot after the last one served (fair under scarcity). The
-        relaxed-deferral threshold is 0: whenever supply is short,
-        speculative flooding of deferred seeds beats hollow batches —
-        idle conv slots donate the duplicate compute.
-
-        Candidates are PRE-SCREENED on device (engine.screen_seeds):
-        about half of PolicyPeaks' seeds fail their first FFN update
-        (membrane-noise peaks) — screening them in one conv batch costs
-        one hop-equivalent per 256 candidates instead of a lane slot
-        each for a whole round. Duds get the same weak-seed outcome the
-        lane path would record; surplus strong seeds are cached on the
-        slot and revalidated (claims may have landed) before use."""
-        import time as _time
-
-        assignments = []   # (lane_index, slot_index, pos)
-        remaining = list(idle)
+    def _slot_order(self, active):
+        """Active slots round-robin from the one after the last served,
+        with materialized-policy slots first (only block on a pending
+        policy when it is the sole supply)."""
         order = [k for k in
                  list(range(self._next_serve, self.K))
                  + list(range(self._next_serve))
                  if k in active]
-        if not order:
-            return assignments
-        # Prefer slots whose policy coords are already materialized;
-        # only block on a pending one when it is the sole supply.
         ready = [k for k in order
                  if getattr(self.slots[k], "_policy_fut", None) is None
                  or self.slots[k]._policy_fut.done()]
         if ready:
             order = ready + [k for k in order if k not in ready]
+        return order
 
-        def join_policy(slot):
-            fut = getattr(slot, "_policy_fut", None)
-            if fut is not None:
-                fut.result()
-                slot._policy_fut = None
-
-        # 1. Cached pre-screened survivors first.
-        for k in order:
+    def _assign_seeds(self, idle, active):
+        """Distributes idle lanes across active slots from the
+        PRE-SCREENED pools (survivors of the device dud screen,
+        revalidated because claims may have landed since screening).
+        Pools are refilled asynchronously: _dispatch_screens draws
+        candidates and enqueues the screen conv batch behind the
+        in-flight hop round; _collect_screens banks the verdicts at the
+        next round boundary. Fair under scarcity: round-robin from the
+        slot after the last one served."""
+        assignments = []   # (lane_index, slot_index, pos)
+        remaining = list(idle)
+        for k in self._slot_order(active):
             slot = self.slots[k]
             ready = getattr(slot, "screened_ready", None) or []
             while remaining and ready:
@@ -305,21 +298,87 @@ class MultiSubvolumeHopDriver:
                     continue   # claimed since screening
                 li = remaining.pop(0)
                 assignments.append((li, k, pos))
+                self._next_serve = (k + 1) % self.K
             slot.screened_ready = ready
+        return assignments
 
-        # 2. Draw, screen in one batch, assign survivors; repeat while
-        # demand and supply remain.
-        exhausted_all = False
-        while remaining and not exhausted_all:
-            demand = min(2 * len(remaining) + 8,
-                         self.engine.SCREEN_BATCH)
-            cands = []   # (slot_index, pos)
+    def _collect_screens(self):
+        """Materializes every in-flight screen batch (blocks until the
+        device reaches it) and banks the verdicts: duds get the same
+        weak-seed outcome the lane path would record; survivors join
+        their slot's screened_ready pool. Batches whose slot was saved
+        and reloaded since dispatch are dropped (the verdicts were
+        computed against the previous subvolume's image)."""
+        import time as _time
+
+        if not self._pending_screens:
+            return
+        t0 = _time.time()
+        for cands, strong_dev in self._pending_screens:
+            strong = np.asarray(strong_dev)
+            for (k, slot_ref, pos), ok in zip(cands, strong):
+                slot = self.slots[k]
+                if slot is not slot_ref:
+                    continue
+                if not ok:
+                    # Same outcome the lane path records for a weak
+                    # seed, minus the wasted lane-round.
+                    p = tuple(int(v) for v in pos)
+                    if slot.segmentation[p] == 0:
+                        slot.segmentation[p] = -1
+                    slot.counters["seed_got_too_weak"].Increment()
+                    slot.counters["screened-weak-seeds"].Increment()
+                else:
+                    slot.screened_ready.append(pos)
+        self._pending_screens = []
+        self.stats["t_screen"] = self.stats.get("t_screen", 0.0) \
+            + _time.time() - t0
+
+    def _dispatch_screens(self, active, force=False):
+        """Draws fresh candidates and dispatches their dud-screen conv
+        batches WITHOUT materializing: dispatched right after a hop
+        round, the screens ride the same device queue, so their compute
+        and the host's draw work both hide behind the round instead of
+        serializing after it. Draw-time lane boxes / claims are at most
+        one round stale — the deferral heuristic tolerates that, and
+        _assign_seeds revalidates every survivor before use.
+
+        Refills to a watermark of `lanes` banked-or-in-flight seeds;
+        skips dispatching tiny batches (the program is padded to
+        SCREEN_BATCH, so a 10-candidate call costs the same device time
+        as 256) unless `force` (the supply-starved path needs progress).
+        Returns the number of candidates dispatched."""
+        import time as _time
+
+        order = self._slot_order(active)
+        if not order:
+            return 0
+        banked = sum(len(getattr(self.slots[k], "screened_ready", []))
+                     for k in order)
+        in_flight = sum(len(c) for c, _ in self._pending_screens)
+        need = self.lanes - banked - in_flight
+        if need <= 0 or (not force and need < min(32, self.lanes)):
+            return 0
+
+        def join_policy(slot):
+            fut = getattr(slot, "_policy_fut", None)
+            if fut is not None:
+                fut.result()
+                slot._policy_fut = None
+
+        dispatched = 0
+        while need > 0:
+            demand = min(need, self.engine.SCREEN_BATCH)
+            cands = []   # (slot_index, slot_ref, pos)
+            # Two passes: strict deferral first, then relaxed
+            # (threshold 0: whenever supply is short, speculative
+            # flooding of deferred seeds beats hollow batches — idle
+            # conv slots donate the duplicate compute).
             for relax in (False, True):
                 if len(cands) >= demand:
                     break
                 share = max(1, (demand - len(cands)) // len(order)) \
                     if not relax else demand - len(cands)
-                got_any = False
                 for k in order:
                     if len(cands) >= demand:
                         break
@@ -333,45 +392,22 @@ class MultiSubvolumeHopDriver:
                     self.stats["t_draw"] = self.stats.get(
                         "t_draw", 0.0) + _time.time() - t_d
                     for pos in seeds:
-                        cands.append((k, pos))
-                    if seeds:
-                        got_any = True
-                        self._next_serve = (k + 1) % self.K
+                        cands.append((k, slot, pos))
             if not cands:
                 break
-            exhausted_all = all(self.slots[k].seeds_exhausted
-                                and not self.slots[k]._deferred
-                                for k in order)
-
-            positions = np.array([p for _, p in cands], np.int32)
-            sv = np.array([k for k, _ in cands], np.int32)
+            positions = np.array([p for _, _, p in cands], np.int32)
+            sv = np.array([k for k, _, _ in cands], np.int32)
             init_act = self.slots[order[0]].options.init_activation
-            t_s = _time.time()
-            strong = self.engine.screen_seeds(self._image_dev, positions,
-                                              init_act, sv=sv)
-            self.stats["t_screen"] = self.stats.get("t_screen", 0.0) \
-                + _time.time() - t_s
+            strong_dev = self.engine.screen_seeds_async(
+                self._image_dev, positions, init_act, sv=sv)
+            self._pending_screens.append((cands, strong_dev))
             self.stats["screen_calls"] = self.stats.get(
                 "screen_calls", 0) + 1
             self.stats["screen_cands"] = self.stats.get(
                 "screen_cands", 0) + len(cands)
-            for (k, pos), ok in zip(cands, strong):
-                slot = self.slots[k]
-                if not ok:
-                    # Same outcome the lane path records for a weak
-                    # seed, minus the wasted lane-round.
-                    p = tuple(int(v) for v in pos)
-                    if slot.segmentation[p] == 0:
-                        slot.segmentation[p] = -1
-                    slot.counters["seed_got_too_weak"].Increment()
-                    slot.counters["screened-weak-seeds"].Increment()
-                    continue
-                if remaining:
-                    li = remaining.pop(0)
-                    assignments.append((li, k, pos))
-                else:
-                    slot.screened_ready.append(pos)
-        return assignments
+            dispatched += len(cands)
+            need -= len(cands)
+        return dispatched
 
     # -- main loop ------------------------------------------------------------
 
@@ -400,8 +436,10 @@ class MultiSubvolumeHopDriver:
                 init_activation = \
                     self.slots[active[0]].options.init_activation
 
-            # 2. Refill idle lanes from whichever slots have supply.
+            # 2. Bank in-flight screen verdicts, then refill idle lanes
+            # from the pre-screened pools.
             t0 = time.time()
+            self._collect_screens()
             idle = [li for li, lane in enumerate(self._lanes)
                     if lane.state == _IDLE]
             assignments = self._assign_seeds(idle, active)
@@ -427,6 +465,14 @@ class MultiSubvolumeHopDriver:
             running = [li for li, lane in enumerate(self._lanes)
                        if lane.state == _RUNNING]
             if not running:
+                # Pools were empty. Force a blocking draw+screen (the
+                # round it would normally hide behind doesn't exist);
+                # verdicts are banked at the top of the next iteration.
+                t0 = time.time()
+                dispatched = self._dispatch_screens(active, force=True)
+                self.stats["t_seed"] += time.time() - t0
+                if dispatched:
+                    continue
                 # No seeds anywhere right now: either every active slot
                 # is exhausted (loop back to save/reload) or deferred
                 # seeds will free up (they cannot: no lanes run), so
@@ -439,17 +485,28 @@ class MultiSubvolumeHopDriver:
                     break
                 continue
 
-            # 3. One fused device round across all subvolumes. (No
+            # 3. One fused device round across all subvolumes,
+            # dispatched WITHOUT materializing; the next refill's seed
+            # drawing + dud-screen conv batches ride behind it on the
+            # device queue, so host seed work and screen compute hide
+            # inside the round instead of serializing after it. (No
             # short-round heuristic here: seed pre-screening already
             # culls the weak seeds that made fresh rounds wasteful.)
             hops = self.hops
             t0 = time.time()
-            self._state, aux = engine.run_hops(
+            self._state, packed_dev = engine.run_hops(
                 self._image_dev, self._blocked_dev, self._state,
                 hops, self.max_iters_per_segment,
-                shapes=self.shapes)
+                shapes=self.shapes, sync=False)
+            t1 = time.time()
+            self._dispatch_screens(active)
+            t2 = time.time()
+            aux = engine.unpack_aux(packed_dev)
             dt = time.time() - t0
-            self.stats["t_hops"] += dt
+            # t_hops = dispatch + device wait; the overlapped seed work
+            # between them is charged to t_seed/t_draw.
+            self.stats["t_hops"] += dt - (t2 - t1)
+            self.stats["t_seed"] += t2 - t1
             self.stats.setdefault("round_times", []).append((hops, dt))
             self.stats["rounds"] += 1
             self.stats["executed"] += int(aux["executed"].sum())

@@ -331,10 +331,14 @@ class MultiSubvolumeHopDriver:
                 else:
                     slot.screened_ready.append(pos)
         self._pending_screens = []
-        self.stats["t_screen"] = self.stats.get("t_screen", 0.0) \
-            + _time.time() - t0
+        dt = _time.time() - t0
+        self.stats["t_screen"] = self.stats.get("t_screen", 0.0) + dt
+        self.stats["collect_calls"] = self.stats.get(
+            "collect_calls", 0) + 1
+        self.stats["t_screen_max"] = max(
+            self.stats.get("t_screen_max", 0.0), dt)
 
-    def _dispatch_screens(self, active, force=False):
+    def _dispatch_screens(self, active, relax_quota=0, force=False):
         """Draws fresh candidates and dispatches their dud-screen conv
         batches WITHOUT materializing: dispatched right after a hop
         round, the screens ride the same device queue, so their compute
@@ -347,7 +351,15 @@ class MultiSubvolumeHopDriver:
         skips dispatching tiny batches (the program is padded to
         SCREEN_BATCH, so a 10-candidate call costs the same device time
         as 256) unless `force` (the supply-starved path needs progress).
-        Returns the number of candidates dispatched."""
+
+        The relaxed (deferral-bypassing) pass is capped at
+        `relax_quota` — the number of lanes that actually sat hollow
+        this round (`force` lifts the cap). Refilling the whole
+        watermark speculatively floods seeds inside still-running
+        lanes' boxes, duplicating their work: measured on the 250^3
+        fused e2e, an uncapped relax pass inflated FOV calls 84k -> 123k
+        (+47%) for the same segmentation. Returns the number of
+        candidates dispatched."""
         import time as _time
 
         order = self._slot_order(active)
@@ -367,32 +379,40 @@ class MultiSubvolumeHopDriver:
                 slot._policy_fut = None
 
         dispatched = 0
+        relax_left = need if force else min(relax_quota, need)
         while need > 0:
             demand = min(need, self.engine.SCREEN_BATCH)
             cands = []   # (slot_index, slot_ref, pos)
-            # Two passes: strict deferral first, then relaxed
-            # (threshold 0: whenever supply is short, speculative
-            # flooding of deferred seeds beats hollow batches — idle
-            # conv slots donate the duplicate compute).
+            # Two passes: strict deferral first, then relaxed up to the
+            # quota (threshold 0: when lanes actually went hollow,
+            # speculative flooding of deferred seeds beats hollow
+            # batches — idle conv slots donate the duplicate compute).
             for relax in (False, True):
                 if len(cands) >= demand:
                     break
+                if relax and relax_left <= 0:
+                    break
+                cap = demand if not relax \
+                    else min(demand, len(cands) + relax_left)
                 share = max(1, (demand - len(cands)) // len(order)) \
-                    if not relax else demand - len(cands)
+                    if not relax else cap - len(cands)
                 for k in order:
-                    if len(cands) >= demand:
+                    if len(cands) >= cap:
                         break
                     slot = self.slots[k]
                     join_policy(slot)
                     t_d = _time.time()
+                    before = len(cands)
                     seeds, slot.seeds_exhausted = slot._draw_seeds(
-                        min(share, demand - len(cands)), slot.seed_iter,
+                        min(share, cap - len(cands)), slot.seed_iter,
                         slot.seeds_exhausted,
                         relax_threshold=0 if relax else None)
                     self.stats["t_draw"] = self.stats.get(
                         "t_draw", 0.0) + _time.time() - t_d
                     for pos in seeds:
                         cands.append((k, slot, pos))
+                    if relax:
+                        relax_left -= len(cands) - before
             if not cands:
                 break
             positions = np.array([p for _, _, p in cands], np.int32)
@@ -418,6 +438,7 @@ class MultiSubvolumeHopDriver:
         engine = self.engine
         B = self.lanes
         init_activation = None
+        trace = bool(int(os.environ.get("FFN_TPU_TRACE", "0")))
 
         while True:
             # 1. Save finished subvolumes, reload their slots.
@@ -440,9 +461,13 @@ class MultiSubvolumeHopDriver:
             # from the pre-screened pools.
             t0 = time.time()
             self._collect_screens()
+            t_collect = time.time() - t0
             idle = [li for li, lane in enumerate(self._lanes)
                     if lane.state == _IDLE]
             assignments = self._assign_seeds(idle, active)
+            # Lanes still hollow after the refill license next round's
+            # relaxed (deferral-bypassing) draw, and no more.
+            unfilled = len(idle) - len(assignments)
             self.stats["t_seed"] += time.time() - t0
             if assignments:
                 t0 = time.time()
@@ -471,6 +496,13 @@ class MultiSubvolumeHopDriver:
                 t0 = time.time()
                 dispatched = self._dispatch_screens(active, force=True)
                 self.stats["t_seed"] += time.time() - t0
+                self.stats["force_dispatches"] = self.stats.get(
+                    "force_dispatches", 0) + 1
+                if trace:
+                    logging.info(
+                        "[trace] starved: collect %.2fs assigned %d "
+                        "force-dispatched %d", t_collect,
+                        len(assignments), dispatched)
                 if dispatched:
                     continue
                 # No seeds anywhere right now: either every active slot
@@ -499,7 +531,7 @@ class MultiSubvolumeHopDriver:
                 hops, self.max_iters_per_segment,
                 shapes=self.shapes, sync=False)
             t1 = time.time()
-            self._dispatch_screens(active)
+            self._dispatch_screens(active, relax_quota=unfilled)
             t2 = time.time()
             aux = engine.unpack_aux(packed_dev)
             dt = time.time() - t0
@@ -521,7 +553,15 @@ class MultiSubvolumeHopDriver:
             # 4. Ingest, routing each lane to its owning slot.
             t0 = time.time()
             self._ingest(aux)
-            self.stats["t_ingest"] += time.time() - t0
+            t_ing = time.time() - t0
+            self.stats["t_ingest"] += t_ing
+            if trace:
+                logging.info(
+                    "[trace] round %d: collect %.2f assign %d/%d "
+                    "hops(disp+wait) %.2f screen_disp %.2f ingest %.2f",
+                    self.stats["rounds"], t_collect, len(assignments),
+                    len(assignments) + unfilled, dt - (t2 - t1),
+                    t2 - t1, t_ing)
 
         return self.completed
 

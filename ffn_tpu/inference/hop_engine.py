@@ -52,6 +52,15 @@ DONE_EMPTY = 2   # movement queue exhausted -> object complete
 DONE_WEAK = 3    # origin seed fell below the move threshold
 DONE_CAP = 4     # hit max_iters_per_segment
 STALLED_FULL = 5  # queue too full to accept a move's pushes; host drains
+DONE_FINALIZED = 6  # device-finalize mode: object finalized in kernel,
+                    # seed FIFO was empty -> lane idles until refilled
+
+# Device-finalize outcome codes (log rows; see FinalizeState.log).
+FIN_SEGMENTED = 1
+FIN_WEAK = 2        # origin below move threshold at finalize
+FIN_TOO_SMALL = 3   # post-masking voxel count < min_segment_size
+FIN_CLAIMED = 4     # another object claimed the seed position first
+FIN_INVALID = 5     # zero executed moves (never a real flood)
 
 # Bit codes of the `blocked` volume (uint8). Separate bits keep the
 # reference's skip-counter attribution (skip_invalid vs
@@ -87,6 +96,35 @@ class LaneState:
     skip_threshold: jax.Array   # (B,) int32 pops discarded: weak seed value
     skip_invalid: jax.Array     # (B,) int32 pops discarded: bounds/claimed
     skip_restricted: jax.Array  # (B,) int32 pops discarded: restrictor
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FinalizeState:
+    """Device-resident finalization state (device-finalize mode).
+
+    With it, `run_hops` finalizes finished objects IN KERNEL — claims
+    are written to the on-device segmentation immediately (zero-round
+    staleness, so duplicate floods die as soon as the first finisher
+    claims), and the freed lane reseeds itself from a screened-seed
+    FIFO without waiting for the round boundary. The host sees one
+    small log download per round instead of per-object region
+    downloads; the segmentation crosses the link once, at subvolume
+    save. Replaces the reference's host-side Canvas.segment_at
+    bookkeeping (ref inference.py:460-570) with a device contract.
+    """
+    seg: jax.Array       # (K, Z, Y, X) int32 segmentation (claims)
+    next_sid: jax.Array  # (K,) int32 next segment id per slot
+    fifo_pos: jax.Array  # (S, 3) int32 screened seeds (round-transient)
+    fifo_sv: jax.Array   # (S,) int32 slot of each FIFO seed
+    fifo_n: jax.Array    # () int32 valid entries this round
+    fifo_head: jax.Array  # () int32 consumed entries
+    log: jax.Array       # (L, 10) int32 per-finalization rows:
+    #   [sv, sid(0 if not segmented), z, y, x, iters, voxels, lane
+    #    status, outcome code, lane index]
+    log_n: jax.Array     # () int32 rows written this round
+    hold: jax.Array      # (B,) bool: host holds spilled queue entries
+    #   for this lane; the kernel must NOT finalize it on DONE_EMPTY
 
 
 class HopEngine(FloodFillEngine):
@@ -132,6 +170,86 @@ class HopEngine(FloodFillEngine):
             fresh=jnp.zeros((B,), bool),
             overflow=z(B), skip_threshold=z(B), skip_invalid=z(B),
             skip_restricted=z(B))
+
+    def init_finalize_state(self, K: int, lanes: int, shape_zyx,
+                            fifo_capacity: int = 0) -> FinalizeState:
+        """Allocates device-finalize state for K subvolume slots.
+
+        The log is sized so it can never overflow within one round:
+        every kernel finalization consumes a lane that was RUNNING, and
+        lanes only (re)enter RUNNING via host reseed (<= B per round)
+        or kernel reseed (each consumes >= 1 FIFO entry, <= S per
+        round)."""
+        S = int(fifo_capacity) or max(2 * lanes, 256)
+        L = S + lanes + 4
+        z = lambda *s: jnp.zeros(s, jnp.int32)
+        return FinalizeState(
+            seg=jnp.zeros((K,) + tuple(shape_zyx), jnp.int32),
+            next_sid=jnp.ones((K,), jnp.int32),
+            fifo_pos=z(S, 3), fifo_sv=z(S),
+            fifo_n=jnp.int32(0), fifo_head=jnp.int32(0),
+            log=z(L, 10), log_n=jnp.int32(0),
+            hold=jnp.zeros((lanes,), bool))
+
+    def round_prep(self, fstate: FinalizeState, pos: np.ndarray,
+                   sv: np.ndarray, hold: np.ndarray) -> FinalizeState:
+        """Loads this round's screened-seed FIFO, resets the log, and
+        sets the per-lane hold flags (one jitted donated call)."""
+        S = fstate.fifo_pos.shape[0]
+        n = len(pos)
+        if n > S:
+            raise ValueError(f"fifo overflow: {n} > {S}")
+        pos_p = np.zeros((S, 3), np.int32)
+        sv_p = np.zeros((S,), np.int32)
+        pos_p[:n] = pos
+        sv_p[:n] = sv
+        if not hasattr(self, "_round_prep_fn"):
+            def fn(fstate, pos, sv, n, hold):
+                return dataclasses.replace(
+                    fstate, fifo_pos=pos, fifo_sv=sv, fifo_n=n,
+                    fifo_head=jnp.int32(0), log_n=jnp.int32(0),
+                    hold=hold)
+
+            self._round_prep_fn = jax.jit(fn, donate_argnums=(0,))
+        return self._round_prep_fn(
+            fstate, jnp.asarray(pos_p), jnp.asarray(sv_p),
+            jnp.int32(n), jnp.asarray(hold, bool))
+
+    def drain_log(self, fstate: FinalizeState):
+        """Downloads this round's finalization rows (host bookkeeping)
+        and the FIFO consumption cursor. Returns (rows (N, 10) int64,
+        fifo_head int)."""
+        n = int(np.asarray(fstate.log_n))
+        head = int(np.asarray(fstate.fifo_head))
+        if n == 0:
+            return np.zeros((0, 10), np.int64), head
+        return np.asarray(fstate.log)[:n].astype(np.int64), head
+
+    def reset_slot_seg(self, fstate: FinalizeState,
+                       slot: int) -> FinalizeState:
+        """Clears one slot's device segmentation and id counter (slot
+        reload)."""
+        if not hasattr(self, "_reset_seg_fn"):
+            def fn(fstate, k):
+                zeros = jnp.zeros(fstate.seg.shape[1:], jnp.int32)
+                return dataclasses.replace(
+                    fstate,
+                    seg=jax.lax.dynamic_update_slice(
+                        fstate.seg, zeros[None], (k, 0, 0, 0)),
+                    next_sid=fstate.next_sid.at[k].set(1))
+
+            self._reset_seg_fn = jax.jit(fn, donate_argnums=(0,))
+        return self._reset_seg_fn(fstate, jnp.int32(slot))
+
+    def download_slot_seg(self, fstate: FinalizeState, slot: int,
+                          size_zyx) -> np.ndarray:
+        """Downloads one slot's segmentation, cropped to its true
+        size (ONE transfer per subvolume — replaces the host path's
+        per-object region downloads)."""
+        sub = jax.lax.dynamic_slice(
+            fstate.seg, (slot, 0, 0, 0),
+            (1,) + tuple(int(v) for v in size_zyx))
+        return np.asarray(sub)[0]
 
     def put_blocked(self, blocked: np.ndarray) -> jax.Array:
         """Uploads the claimed/restricted uint8 volume (1 = excluded)."""
@@ -270,7 +388,9 @@ class HopEngine(FloodFillEngine):
 
     def run_hops(self, image: jax.Array, blocked: jax.Array,
                  state: LaneState, hops: int, max_iters: int = 0,
-                 shapes: Optional[np.ndarray] = None, sync: bool = True):
+                 shapes: Optional[np.ndarray] = None, sync: bool = True,
+                 fstate: Optional[FinalizeState] = None,
+                 fin_opts: Optional[np.ndarray] = None):
         """Executes up to `hops` FFN moves per running lane on device.
 
         image/blocked are (Z, Y, X) volumes or (K, Z, Y, X) stacks of K
@@ -279,20 +399,39 @@ class HopEngine(FloodFillEngine):
         subvolumes smaller than the stack shape are padded, and moves
         must never enter the padding; defaults to the full stack shape.
 
-        Returns (state, aux) where aux is a dict of small host arrays:
-        status, iters, minp, maxp, queue_len, overflow and the three
-        skip counters.
+        With `fstate` (device-finalize mode), finished lanes are
+        finalized in kernel (claims written to fstate.seg immediately)
+        and reseeded from fstate's screened-seed FIFO mid-round;
+        `fin_opts` must be float32 [segment_threshold, min_segment_size,
+        init_activation]. Returns (state, fstate, aux) in that mode,
+        (state, aux) otherwise.
+
+        aux is a dict of small host arrays: status, iters, minp, maxp,
+        queue_len, overflow, the three skip counters, executed, pops,
+        and (stacks only) sv.
         """
         if shapes is None:
             K = image.shape[0] if image.ndim == 4 else 1
             shapes = np.tile(np.array(state.seeds.shape[1:], np.int32),
                              (K, 1))
-        key = (hops, int(max_iters))
+        fin = fstate is not None
+        key = (hops, int(max_iters), fin)
         if key not in self._run_hops_cache:
             self._run_hops_cache[key] = jax.jit(
                 functools.partial(self._run_hops_impl, hops=hops,
-                                  max_iters=int(max_iters)),
-                donate_argnums=(2,))
+                                  max_iters=int(max_iters),
+                                  device_finalize=fin),
+                donate_argnums=(2, 5) if fin else (2,))
+        if fin:
+            if fin_opts is None:
+                raise ValueError("device-finalize mode needs fin_opts")
+            state, fstate, packed = self._run_hops_cache[key](
+                image, blocked, state, jnp.asarray(self._opts_host),
+                jnp.asarray(shapes, jnp.int32), fstate,
+                jnp.asarray(fin_opts, jnp.float32))
+            if not sync:
+                return state, fstate, packed
+            return state, fstate, self.unpack_aux(packed)
         state, packed = self._run_hops_cache[key](
             image, blocked, state, jnp.asarray(self._opts_host),
             jnp.asarray(shapes, jnp.int32))
@@ -323,10 +462,13 @@ class HopEngine(FloodFillEngine):
             "executed": packed[:, 13].astype(np.int64),
             "pops": packed[:, 14].astype(np.int64),
         }
+        if packed.shape[1] > 15:
+            aux["sv"] = packed[:, 15]
         return aux
 
     def _run_hops_impl(self, image, blocked, state: LaneState, opts,
-                       shapes, *, hops, max_iters):
+                       shapes, fstate=None, fin_opts=None, *, hops,
+                       max_iters, device_finalize=False):
         if image.ndim == 3:   # single-subvolume callers pass 3-D volumes
             image = image[None]
             blocked = blocked[None]
@@ -342,7 +484,7 @@ class HopEngine(FloodFillEngine):
         def cell_of(pos, start):
             return (pos - start + deltas // 2) // deltas + grid_off
 
-        def pop_one(seed, sv, shape, qpos, qscore, head, tail, done,
+        def pop_one(seg, seed, sv, shape, qpos, qscore, head, tail, done,
                     start, fresh, running, skip_t, skip_i, skip_r):
             """Advances head until a valid candidate; returns
             (found, pos, head, counters...). No-op for non-running
@@ -355,6 +497,8 @@ class HopEngine(FloodFillEngine):
                 safe = jnp.clip(pos, 0, pad_shape - 1)
                 code = blocked[sv, safe[0], safe[1], safe[2]]
                 is_blocked = (code & BLOCKED_CLAIMED) > 0
+                if seg is not None:   # device-finalize claims
+                    is_blocked |= seg[sv, safe[0], safe[1], safe[2]] > 0
                 is_restricted = (code & BLOCKED_RESTRICTED) > 0
                 c = cell_of(pos, start)
                 is_done = done[c[0], c[1], c[2]] > 0
@@ -394,8 +538,159 @@ class HopEngine(FloodFillEngine):
             head = head + jnp.int32(found)   # consume the chosen entry
             return found, pos, head, skip_t, skip_i, skip_r, pops
 
+        def finalize_one(state, fstate, li):
+            """Finalizes lane li's object into the device segmentation
+            (mirroring BatchCanvas._finalize's verdict order: weak ->
+            seed-claimed drop -> min-size -> segment) and reseeds the
+            lane from the screened-seed FIFO, popping until an
+            unclaimed candidate or exhaustion. Sequential across lanes
+            (the enclosing while-loop), so two same-hop finishers
+            arbitrate exactly like consecutive host finalizations."""
+            seg_t, min_size, init_act = (fin_opts[0], fin_opts[1],
+                                         fin_opts[2])
+            sv = state.sv[li]
+            start = state.start[li]
+            status = state.status[li]
+            iters = state.iters[li]
+            seed = jax.lax.dynamic_index_in_dim(state.seeds, li, 0,
+                                                keepdims=False)
+            seg_sv = jax.lax.dynamic_index_in_dim(fstate.seg, sv, 0,
+                                                  keepdims=False)
+            blk_sv = jax.lax.dynamic_index_in_dim(blocked, sv, 0,
+                                                  keepdims=False)
+            origin_val = seed[start[0], start[1], start[2]]
+            start_ok = origin_val >= move_t.astype(seed.dtype)
+            claimed_at = ((seg_sv[start[0], start[1], start[2]] > 0)
+                          | ((blk_sv[start[0], start[1], start[2]]
+                              & BLOCKED_CLAIMED) > 0))
+            # NaN (unvisited) compares False; padding stays NaN, so the
+            # mask can never claim outside the slot's true extent.
+            mask = ((seed >= seg_t.astype(seed.dtype))
+                    & (seg_sv == 0)
+                    & ((blk_sv & BLOCKED_CLAIMED) == 0))
+            nvox = jnp.sum(mask.astype(jnp.int32))
+            weak = (status == DONE_WEAK) | ~start_ok
+            invalid = iters <= 0
+            ok = (~invalid & ~weak & ~claimed_at
+                  & (nvox >= min_size.astype(jnp.int32)))
+            sid = fstate.next_sid[sv]
+            new_seg_sv = jnp.where(ok & mask, sid, seg_sv)
+            seg = jax.lax.dynamic_update_slice(
+                fstate.seg, new_seg_sv[None], (sv, 0, 0, 0))
+            next_sid = fstate.next_sid.at[sv].add(
+                ok.astype(jnp.int32))
+            outcome = jnp.where(
+                invalid, FIN_INVALID,
+                jnp.where(ok, FIN_SEGMENTED,
+                          jnp.where(weak, FIN_WEAK,
+                                    jnp.where(claimed_at, FIN_CLAIMED,
+                                              FIN_TOO_SMALL))))
+            row = jnp.stack([
+                sv, jnp.where(ok, sid, 0), start[0], start[1], start[2],
+                iters, nvox, status, outcome, li]).astype(jnp.int32)
+            ln = jnp.minimum(fstate.log_n, fstate.log.shape[0] - 1)
+            log = jax.lax.dynamic_update_slice(fstate.log, row[None],
+                                               (ln, 0))
+
+            # Pop the FIFO until an unclaimed seed or exhaustion. The
+            # claim check runs against the JUST-updated segmentation, so
+            # a seed inside the object finalized a microsecond ago is
+            # discarded — zero-staleness arbitration the host's
+            # round-granular revalidation cannot match.
+            def pop_cond(c):
+                h, got = c[0], c[1]
+                return (h < fstate.fifo_n) & ~got
+
+            def pop_body(c):
+                h, _, pos, psv = c
+                cand = fstate.fifo_pos[h]
+                csv = fstate.fifo_sv[h]
+                free = ((seg[csv, cand[0], cand[1], cand[2]] == 0)
+                        & ((blocked[csv, cand[0], cand[1], cand[2]]
+                            & BLOCKED_CLAIMED) == 0))
+                return (h + 1, free, jnp.where(free, cand, pos),
+                        jnp.where(free, csv, psv))
+
+            head, got, pos2, sv2 = jax.lax.while_loop(
+                pop_cond, pop_body,
+                (fstate.fifo_head, jnp.bool_(False), start, sv))
+
+            # Reset lane li: blank seed with the init activation planted
+            # at the new origin (one lane-sized temp, ~2 bytes/voxel).
+            blank = jnp.full(seed.shape, jnp.nan, seed.dtype)
+            blank = blank.at[pos2[0], pos2[1], pos2[2]].set(
+                init_act.astype(seed.dtype))
+            seed_new = jnp.where(got, blank, seed)
+            seeds = jax.lax.dynamic_update_slice(
+                state.seeds, seed_new[None], (li, 0, 0, 0))
+            done_li = jax.lax.dynamic_index_in_dim(state.done, li, 0,
+                                                   keepdims=False)
+            done_new = jnp.where(got, jnp.zeros_like(done_li), done_li)
+            done = jax.lax.dynamic_update_slice(
+                state.done, done_new[None], (li, 0, 0, 0))
+            big = 2.0 * jnp.abs(move_t) + 1.0
+            qpos = state.qpos.at[li, 0, :].set(
+                jnp.where(got, pos2, state.qpos[li, 0, :]))
+            qscore = state.qscore.at[li, 0].set(
+                jnp.where(got, big, state.qscore[li, 0]))
+            sel = jnp.where
+            state = LaneState(
+                seeds=seeds, sv=state.sv.at[li].set(sel(got, sv2, sv)),
+                qpos=qpos, qscore=qscore,
+                head=state.head.at[li].set(
+                    sel(got, 0, state.head[li])),
+                tail=state.tail.at[li].set(
+                    sel(got, 1, state.tail[li])),
+                done=done,
+                start=state.start.at[li].set(sel(got, pos2, start)),
+                minp=state.minp.at[li].set(sel(got, pos2,
+                                               state.minp[li])),
+                maxp=state.maxp.at[li].set(sel(got, pos2,
+                                               state.maxp[li])),
+                iters=state.iters.at[li].set(0),
+                status=state.status.at[li].set(
+                    sel(got, RUNNING, DONE_FINALIZED)),
+                fresh=state.fresh.at[li].set(got),
+                overflow=state.overflow,
+                # Cumulative within the round (host deltas attribute to
+                # the lane's end-of-round slot; documented approximation
+                # in multi-subvolume batches).
+                skip_threshold=state.skip_threshold,
+                skip_invalid=state.skip_invalid,
+                skip_restricted=state.skip_restricted)
+            fstate = FinalizeState(
+                seg=seg, next_sid=next_sid,
+                fifo_pos=fstate.fifo_pos, fifo_sv=fstate.fifo_sv,
+                fifo_n=fstate.fifo_n, fifo_head=head,
+                log=log, log_n=fstate.log_n + 1,
+                hold=fstate.hold)
+            return state, fstate
+
+        def finalize_pass(state, fstate):
+            """Sequentially finalizes every lane that finished this hop
+            (DONE_EMPTY without host-held spill, DONE_WEAK, DONE_CAP).
+            Zero-iteration when nothing finished — the common case costs
+            one reduce over B flags."""
+            fin_mask = (((state.status == DONE_EMPTY) & ~fstate.hold)
+                        | (state.status == DONE_WEAK)
+                        | (state.status == DONE_CAP))
+
+            def cond(c):
+                return jnp.any(c[2])
+
+            def body(c):
+                state, fstate, mask = c
+                li = jnp.argmax(mask)
+                state, fstate = finalize_one(state, fstate, li)
+                return state, fstate, mask.at[li].set(False)
+
+            state, fstate, _ = jax.lax.while_loop(
+                cond, body, (state, fstate, fin_mask))
+            return state, fstate
+
         def hop(carry):
-            state, executed_total, pops_total = carry
+            state, fstate, executed_total, pops_total = carry
+            seg_now = fstate.seg if device_finalize else None
             lane_shapes = shapes[state.sv]   # (B, 3) actual extents
             def lane_pre(seed, sv, shape, qpos, qscore, head, tail, done,
                          start, minp, maxp, iters, status, fresh, skip_t,
@@ -418,9 +713,9 @@ class HopEngine(FloodFillEngine):
                 running = running & ~full
 
                 found, pos, head, skip_t, skip_i, skip_r, pops = \
-                    pop_one(seed, sv, shape, qpos, qscore, head, tail,
-                            done, start, fresh, running, skip_t, skip_i,
-                            skip_r)
+                    pop_one(seg_now, seed, sv, shape, qpos, qscore, head,
+                            tail, done, start, fresh, running, skip_t,
+                            skip_i, skip_r)
                 found = found & running
                 status = jnp.where(running & ~found, DONE_EMPTY, status)
                 # Clamp so the dummy slice for idle lanes is in-bounds.
@@ -512,7 +807,9 @@ class HopEngine(FloodFillEngine):
                 fresh=state.fresh & ~execute,
                 overflow=overflow, skip_threshold=skip_t,
                 skip_invalid=skip_i, skip_restricted=skip_r)
-            return (new_state,
+            if device_finalize:
+                new_state, fstate = finalize_pass(new_state, fstate)
+            return (new_state, fstate,
                     executed_total + execute.astype(jnp.int32),
                     pops_total + pops)
 
@@ -529,8 +826,9 @@ class HopEngine(FloodFillEngine):
             return hop(carry), i + 1
 
         zeros_b = jnp.zeros((state.head.shape[0],), jnp.int32)
-        (state, executed, pops_sum), _ = jax.lax.while_loop(
-            cond, body, ((state, zeros_b, zeros_b), jnp.int32(0)))
+        (state, fstate, executed, pops_sum), _ = jax.lax.while_loop(
+            cond, body, ((state, fstate, zeros_b, zeros_b),
+                         jnp.int32(0)))
         packed = jnp.concatenate([
             state.status[:, None],
             state.iters[:, None],
@@ -543,7 +841,10 @@ class HopEngine(FloodFillEngine):
             state.skip_restricted[:, None],
             executed[:, None],
             pops_sum[:, None],
+            state.sv[:, None],
         ], axis=1)
+        if device_finalize:
+            return state, fstate, packed
         return state, packed
 
     SCREEN_BATCH = 256

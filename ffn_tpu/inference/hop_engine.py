@@ -558,6 +558,11 @@ class HopEngine(FloodFillEngine):
                                                   keepdims=False)
             blk_sv = jax.lax.dynamic_index_in_dim(blocked, sv, 0,
                                                   keepdims=False)
+            # Reseed-only lanes (IDLE at round start, or already
+            # finalized with an empty FIFO earlier): no object to
+            # finalize — skip the claim write and the log row.
+            do_fin = ((status == DONE_EMPTY) | (status == DONE_WEAK)
+                      | (status == DONE_CAP))
             origin_val = seed[start[0], start[1], start[2]]
             start_ok = origin_val >= move_t.astype(seed.dtype)
             claimed_at = ((seg_sv[start[0], start[1], start[2]] > 0)
@@ -571,7 +576,7 @@ class HopEngine(FloodFillEngine):
             nvox = jnp.sum(mask.astype(jnp.int32))
             weak = (status == DONE_WEAK) | ~start_ok
             invalid = iters <= 0
-            ok = (~invalid & ~weak & ~claimed_at
+            ok = (do_fin & ~invalid & ~weak & ~claimed_at
                   & (nvox >= min_size.astype(jnp.int32)))
             sid = fstate.next_sid[sv]
             new_seg_sv = jnp.where(ok & mask, sid, seg_sv)
@@ -585,10 +590,11 @@ class HopEngine(FloodFillEngine):
                           jnp.where(weak, FIN_WEAK,
                                     jnp.where(claimed_at, FIN_CLAIMED,
                                               FIN_TOO_SMALL))))
+            ln = jnp.minimum(fstate.log_n, fstate.log.shape[0] - 1)
             row = jnp.stack([
                 sv, jnp.where(ok, sid, 0), start[0], start[1], start[2],
                 iters, nvox, status, outcome, li]).astype(jnp.int32)
-            ln = jnp.minimum(fstate.log_n, fstate.log.shape[0] - 1)
+            row = jnp.where(do_fin, row, fstate.log[ln])
             log = jax.lax.dynamic_update_slice(fstate.log, row[None],
                                                (ln, 0))
 
@@ -662,34 +668,52 @@ class HopEngine(FloodFillEngine):
                 seg=seg, next_sid=next_sid,
                 fifo_pos=fstate.fifo_pos, fifo_sv=fstate.fifo_sv,
                 fifo_n=fstate.fifo_n, fifo_head=head,
-                log=log, log_n=fstate.log_n + 1,
+                log=log, log_n=fstate.log_n + do_fin.astype(jnp.int32),
                 hold=fstate.hold)
             return state, fstate
 
         def finalize_pass(state, fstate):
-            """Sequentially finalizes every lane that finished this hop
-            (DONE_EMPTY without host-held spill, DONE_WEAK, DONE_CAP).
-            Zero-iteration when nothing finished — the common case costs
-            one reduce over B flags."""
-            fin_mask = (((state.status == DONE_EMPTY) & ~fstate.hold)
-                        | (state.status == DONE_WEAK)
-                        | (state.status == DONE_CAP))
+            """Sequentially finalizes every lane that finished
+            (DONE_EMPTY without host-held spill, DONE_WEAK, DONE_CAP)
+            and refills idle lanes (IDLE / DONE_FINALIZED) from the
+            seed FIFO. Finalizations run first so their claims land
+            before reseeds consume FIFO entries. Zero-iteration when
+            nothing finished and no refill is possible — the common
+            case costs two reduces over B flags."""
+            nmask = (((state.status == DONE_EMPTY) & ~fstate.hold)
+                     | (state.status == DONE_WEAK)
+                     | (state.status == DONE_CAP))
+            rmask = ((state.status == IDLE)
+                     | (state.status == DONE_FINALIZED))
 
             def cond(c):
-                return jnp.any(c[2])
+                state, fstate, nmask, rmask = c
+                return jnp.any(nmask) | (
+                    jnp.any(rmask)
+                    & (fstate.fifo_head < fstate.fifo_n))
 
             def body(c):
-                state, fstate, mask = c
-                li = jnp.argmax(mask)
+                state, fstate, nmask, rmask = c
+                has_n = jnp.any(nmask)
+                li = jnp.where(has_n, jnp.argmax(nmask),
+                               jnp.argmax(rmask))
                 state, fstate = finalize_one(state, fstate, li)
-                return state, fstate, mask.at[li].set(False)
+                return (state, fstate, nmask.at[li].set(False),
+                        rmask.at[li].set(False))
 
-            state, fstate, _ = jax.lax.while_loop(
-                cond, body, (state, fstate, fin_mask))
+            state, fstate, _, _ = jax.lax.while_loop(
+                cond, body, (state, fstate, nmask, rmask))
             return state, fstate
 
         def hop(carry):
             state, fstate, executed_total, pops_total = carry
+            # Finalize/reseed at hop ENTRY so refilled lanes execute
+            # this hop's conv. Lanes that die in the round's last hop
+            # are finalized at the next round's first hop (the host
+            # sees their DONE_* status meanwhile and must not treat
+            # them as finalized).
+            if device_finalize:
+                state, fstate = finalize_pass(state, fstate)
             seg_now = fstate.seg if device_finalize else None
             lane_shapes = shapes[state.sv]   # (B, 3) actual extents
             def lane_pre(seed, sv, shape, qpos, qscore, head, tail, done,

@@ -225,21 +225,24 @@ class HopEngine(FloodFillEngine):
             return np.zeros((0, 10), np.int64), head
         return np.asarray(fstate.log)[:n].astype(np.int64), head
 
-    def reset_slot_seg(self, fstate: FinalizeState,
-                       slot: int) -> FinalizeState:
+    def reset_slot_seg(self, fstate: FinalizeState, slot: int,
+                       next_sid: int = 1) -> FinalizeState:
         """Clears one slot's device segmentation and id counter (slot
-        reload)."""
+        reload). next_sid sets the first id the kernel will assign —
+        drivers pass max(init-segmentation ids) + 1 so device ids never
+        collide with preloaded ones."""
         if not hasattr(self, "_reset_seg_fn"):
-            def fn(fstate, k):
+            def fn(fstate, k, sid0):
                 zeros = jnp.zeros(fstate.seg.shape[1:], jnp.int32)
                 return dataclasses.replace(
                     fstate,
                     seg=jax.lax.dynamic_update_slice(
                         fstate.seg, zeros[None], (k, 0, 0, 0)),
-                    next_sid=fstate.next_sid.at[k].set(1))
+                    next_sid=fstate.next_sid.at[k].set(sid0))
 
             self._reset_seg_fn = jax.jit(fn, donate_argnums=(0,))
-        return self._reset_seg_fn(fstate, jnp.int32(slot))
+        return self._reset_seg_fn(fstate, jnp.int32(slot),
+                                  jnp.int32(next_sid))
 
     def download_slot_seg(self, fstate: FinalizeState, slot: int,
                           size_zyx) -> np.ndarray:
@@ -464,6 +467,10 @@ class HopEngine(FloodFillEngine):
         }
         if packed.shape[1] > 15:
             aux["sv"] = packed[:, 15]
+        if packed.shape[1] > 16:
+            # Current segment origin per lane — with in-kernel reseed
+            # the host can no longer derive it from its own bookkeeping.
+            aux["start"] = packed[:, 16:19].astype(np.int64)
         return aux
 
     def _run_hops_impl(self, image, blocked, state: LaneState, opts,
@@ -866,6 +873,7 @@ class HopEngine(FloodFillEngine):
             executed[:, None],
             pops_sum[:, None],
             state.sv[:, None],
+            state.start,
         ], axis=1)
         if device_finalize:
             return state, fstate, packed

@@ -129,7 +129,8 @@ class MultiSubvolumeHopDriver:
 
     def __init__(self, runner, tasks: Sequence, lanes: int = 64,
                  slots: int = 4, hops: int = 16,
-                 keep_probability_maps: bool = False):
+                 keep_probability_maps: bool = False,
+                 device_finalize: bool = True):
         self.runner = runner
         self.engine = runner.engine
         if not isinstance(self.engine, hop_engine_lib.HopEngine):
@@ -163,6 +164,21 @@ class MultiSubvolumeHopDriver:
             fill=hop_engine_lib.BLOCKED_CLAIMED)
         self.shapes = np.tile(np.array(self.slot_shape, np.int32),
                               (self.K, 1))
+        # Device-finalize mode: finished objects are finalized IN KERNEL
+        # (claims written to an on-device segmentation, freed lanes
+        # reseeded mid-round from a screened-seed FIFO); the host ingests
+        # a small log per round and downloads each slot's segmentation
+        # ONCE at save. Requires skipping POM downloads, so it is
+        # incompatible with keep_probability_maps.
+        self.device_finalize = bool(device_finalize) \
+            and not keep_probability_maps
+        self._fstate = None
+        self._fifo_entries = []      # this round's FIFO (slot, pos) rows
+        self._fifo_consumed_est = 0  # last round's kernel consumption
+        if self.device_finalize:
+            self._fstate = self.engine.init_finalize_state(
+                self.K, self.lanes, self.slot_shape,
+                fifo_capacity=max(2 * self.lanes, 256))
         self.slots: list = [None] * self.K
         self._slot_meta: list = [None] * self.K   # (corner, size, alignment)
         self._next_serve = 0   # round-robin cursor for seed allocation
@@ -217,6 +233,10 @@ class MultiSubvolumeHopDriver:
             self._image_dev = self.engine.update_stack_slot(
                 self._image_dev, k, slot.image)
             self.refresh_slot_blocked(k)
+            if self.device_finalize:
+                # Device ids continue above any init-segmentation ids.
+                self._fstate = self.engine.reset_slot_seg(
+                    self._fstate, k, next_sid=slot._max_id + 1)
             policy = self.runner.get_seed_policy(corner, size)
             slot.seed_policy = policy(slot)
             slot.seed_iter = iter(slot.seed_policy)
@@ -250,6 +270,15 @@ class MultiSubvolumeHopDriver:
     def _save_slot(self, k: int):
         slot = self.slots[k]
         corner, _, alignment = self._slot_meta[k]
+        if self.device_finalize:
+            # ONE device download per subvolume replaces the host path's
+            # per-object region downloads. Host-side -1 markers (weak /
+            # too-small seeds) and init-segmentation ids are preserved
+            # where the kernel claimed nothing.
+            seg_dev = self.engine.download_slot_seg(
+                self._fstate, k, slot.shape)
+            claimed = seg_dev > 0
+            slot.segmentation[claimed] = seg_dev[claimed]
         out_dir = self.runner.request.segmentation_output_dir
         seg_path = storage.segmentation_path(out_dir, corner)
         prob_path = storage.object_prob_path(out_dir, corner)
@@ -368,7 +397,13 @@ class MultiSubvolumeHopDriver:
         banked = sum(len(getattr(self.slots[k], "screened_ready", []))
                      for k in order)
         in_flight = sum(len(c) for c, _ in self._pending_screens)
-        need = self.lanes - banked - in_flight
+        # Device-finalize mode: the round's FIFO entries are neither
+        # banked nor assigned yet; estimate how many will come back
+        # using last round's kernel consumption (the force path covers
+        # under-estimates).
+        fifo_est = max(0, len(self._fifo_entries)
+                       - self._fifo_consumed_est)
+        need = self.lanes - banked - in_flight - fifo_est
         if need <= 0 or (not force and need < min(32, self.lanes)):
             return 0
 
@@ -429,6 +464,176 @@ class MultiSubvolumeHopDriver:
             need -= len(cands)
         return dispatched
 
+    # -- device-finalize round plumbing ---------------------------------------
+
+    def _fin_opts(self):
+        """fin_opts vector for run_hops (thresholds already in logit
+        space — slot options convert once at canvas construction)."""
+        slot = next(s for s in self.slots if s is not None)
+        o = slot.options
+        return np.array([o.segment_threshold, o.min_segment_size,
+                         o.init_activation], np.float32)
+
+    def _prep_round_fifo(self, active):
+        """Loads this round's screened-seed FIFO from the banked pools
+        (revalidated against host state; the kernel re-checks claims
+        with zero staleness at pop time) and sets the per-lane hold
+        flags (lanes with host-held spill must not be finalized in
+        kernel). Round-robin across slots for fairness under scarcity.
+        Returns (n_loaded, n_idle_unfilled)."""
+        S = self._fstate.fifo_pos.shape[0]
+        entries = []
+        order = self._slot_order(active)
+        pools = {k: list(self.slots[k].screened_ready) for k in order}
+        for k in order:
+            self.slots[k].screened_ready = []
+        progressed = True
+        while len(entries) < S and progressed:
+            progressed = False
+            for k in order:
+                pool = pools[k]
+                while pool:
+                    pos = pool.pop(0)
+                    if not self.slots[k]._valid_seed_pos(tuple(pos)):
+                        continue
+                    entries.append((k, pos))
+                    progressed = True
+                    break
+                if len(entries) >= S:
+                    break
+        for k in order:   # FIFO full: keep the surplus banked
+            self.slots[k].screened_ready.extend(pools[k])
+        pos = np.array([p for _, p in entries],
+                       np.int32).reshape(-1, 3)
+        sv = np.array([k for k, _ in entries], np.int32)
+        hold = np.array([bool(lane.spill) for lane in self._lanes],
+                        bool)
+        self._fstate = self.engine.round_prep(self._fstate, pos, sv,
+                                              hold)
+        self._fifo_entries = entries
+        idle = sum(1 for lane in self._lanes if lane.state == _IDLE)
+        return len(entries), max(0, idle - len(entries))
+
+    def _rebank_fifo(self, fifo_head: int):
+        """Returns unconsumed FIFO entries to the front of their slots'
+        banked pools (they were drawn earliest) and records the round's
+        consumption for the dispatch watermark."""
+        self._fifo_consumed_est = fifo_head
+        leftover = self._fifo_entries[fifo_head:]
+        self._fifo_entries = []
+        if not leftover:
+            return
+        by_slot = {}
+        for k, pos in leftover:
+            by_slot.setdefault(k, []).append(pos)
+        for k, back in by_slot.items():
+            slot = self.slots[k]
+            if slot is not None:
+                slot.screened_ready = back + slot.screened_ready
+
+    def _ingest_device(self, aux, rows):
+        """Device-finalize ingest: applies the kernel's finalization log
+        to host bookkeeping (origins, counters, weak markers) and
+        refreshes the host lane mirrors from aux. The only per-lane
+        device interaction left is the rare queue-stall drain."""
+        import dataclasses as _dc
+        import jax.numpy as _jnp
+
+        overflowed = int(aux["overflow"].sum())
+        if overflowed:
+            raise AssertionError(
+                f"device queue dropped {overflowed} pushes despite the "
+                "stall gate")
+
+        for row in rows:
+            (k, sid, z, y, x, iters, nvox, status, outcome,
+             li) = (int(v) for v in row)
+            slot = self.slots[k]
+            if slot is None:
+                continue   # slot saved since (cannot happen in-loop)
+            pos = (z, y, x)
+            if status == hop_engine_lib.DONE_CAP:
+                slot.counters["iter-cap-hit"].Increment()
+            if outcome == hop_engine_lib.FIN_SEGMENTED:
+                slot.origins[sid] = storage.OriginInfo(pos, iters, 0.0)
+                slot.overlaps[sid] = np.zeros((2, 0), np.int64)
+                slot._max_id = max(slot._max_id, sid)
+                slot.counters["voxels-segmented"].IncrementBy(nvox)
+                slot.log_info(
+                    "lane %d: created supervoxel:%d seed(zyx):%s "
+                    "size:%d iters:%d", li, sid, pos, nvox, iters)
+            elif outcome == hop_engine_lib.FIN_WEAK:
+                if slot.segmentation[pos] == 0:
+                    slot.segmentation[pos] = -1
+                slot.counters["seed_got_too_weak"].Increment()
+            elif outcome == hop_engine_lib.FIN_CLAIMED:
+                slot.counters["seed-claimed-drops"].Increment()
+            elif outcome == hop_engine_lib.FIN_TOO_SMALL:
+                if slot.segmentation[pos] == 0:
+                    slot.segmentation[pos] = -1
+                slot.counters["segments-too-small"].Increment()
+
+        skips = np.stack([aux["skip_threshold"], aux["skip_invalid"],
+                          aux["skip_restricted"]], axis=1)
+        delta = skips - self._skip_base
+        self._skip_base = skips
+
+        status_host = None
+        status_dirty = False
+        for li, lane in enumerate(self._lanes):
+            st = int(aux["status"][li])
+            sv = int(aux["sv"][li])
+            # Counter routing: per-lane round totals attribute to the
+            # lane's end-of-round slot (documented approximation when a
+            # lane served objects from two slots within one round).
+            slot = self.slots[sv] if 0 <= sv < self.K else None
+            if slot is not None and (st != hop_engine_lib.IDLE):
+                slot.counters["fov-moves"].IncrementBy(
+                    int(aux["executed"][li]))
+                slot.counters["skip_threshold"].IncrementBy(
+                    int(delta[li, 0]))
+                slot.counters["skip_invalid_pos"].IncrementBy(
+                    int(delta[li, 1]))
+                slot.counters["skip_restriced_pos"].IncrementBy(
+                    int(delta[li, 2]))
+            # Host lane mirror: with in-kernel reseed the lane's object
+            # identity comes from aux, not host bookkeeping.
+            lane.start_pos = np.asarray(aux["start"][li])
+            lane.min_pos = np.asarray(aux["minp"][li])
+            lane.max_pos = np.asarray(aux["maxp"][li])
+            lane.num_iters = int(aux["iters"][li])
+            if st == hop_engine_lib.RUNNING:
+                lane.state = _RUNNING
+                self.lane_slot[li] = sv
+            elif st == hop_engine_lib.STALLED_FULL:
+                lane.state = _RUNNING
+                self.lane_slot[li] = sv
+                if status_host is None:
+                    status_host = np.array(self._state.status)
+                slot._drain_lane_queue(li, lane)
+                status_host[li] = hop_engine_lib.RUNNING
+                status_dirty = True
+            elif st == hop_engine_lib.DONE_EMPTY:
+                # Only reachable with hold set (host-held spill): the
+                # kernel finalizes every other DONE lane in-round.
+                self.lane_slot[li] = sv
+                if lane.spill and slot._requeue_spill(li, lane):
+                    lane.state = _RUNNING
+                    if status_host is None:
+                        status_host = np.array(self._state.status)
+                    status_host[li] = hop_engine_lib.RUNNING
+                    status_dirty = True
+                else:
+                    # Spill was entirely stale: the object is genuinely
+                    # done. hold clears next round (spill is empty) and
+                    # the kernel finalizes it at the next hop entry.
+                    lane.state = _RUNNING
+            else:   # IDLE / DONE_FINALIZED: lane waits for FIFO seeds
+                lane.state = _IDLE
+        if status_dirty:
+            self._state = _dc.replace(self._state,
+                                      status=_jnp.asarray(status_host))
+
     # -- main loop ------------------------------------------------------------
 
     def run(self):
@@ -457,39 +662,49 @@ class MultiSubvolumeHopDriver:
                 init_activation = \
                     self.slots[active[0]].options.init_activation
 
-            # 2. Bank in-flight screen verdicts, then refill idle lanes
-            # from the pre-screened pools.
+            # 2. Bank in-flight screen verdicts, then refill idle lanes:
+            # device-finalize mode loads the round's seed FIFO (the
+            # kernel reseeds lanes mid-round); host mode assigns seeds
+            # to idle lanes at the round boundary.
             t0 = time.time()
             self._collect_screens()
             t_collect = time.time() - t0
-            idle = [li for li, lane in enumerate(self._lanes)
-                    if lane.state == _IDLE]
-            assignments = self._assign_seeds(idle, active)
-            # Lanes still hollow after the refill license next round's
-            # relaxed (deferral-bypassing) draw, and no more.
-            unfilled = len(idle) - len(assignments)
-            self.stats["t_seed"] += time.time() - t0
-            if assignments:
+            n_fifo = 0
+            assignments = []
+            if self.device_finalize:
                 t0 = time.time()
-                reset_mask = np.zeros(B, bool)
-                reset_pos = np.zeros((B, 3), np.int32)
-                new_sv = np.array(self.lane_slot)
-                for li, k, pos in assignments:
-                    slot = self.slots[k]
-                    slot._start_lane(li, pos)
-                    reset_mask[li] = True
-                    reset_pos[li] = pos
-                    new_sv[li] = k
-                    self.lane_slot[li] = k
-                    self._skip_base[li] = 0
-                self._state = engine.reseed_lanes(
-                    self._state, reset_mask, reset_pos, init_activation,
-                    sv=np.maximum(new_sv, 0))
-                self.stats["t_reseed"] += time.time() - t0
+                n_fifo, unfilled = self._prep_round_fifo(active)
+                self.stats["t_seed"] += time.time() - t0
+            else:
+                idle = [li for li, lane in enumerate(self._lanes)
+                        if lane.state == _IDLE]
+                assignments = self._assign_seeds(idle, active)
+                # Lanes still hollow after the refill license next
+                # round's relaxed (deferral-bypassing) draw, and no
+                # more.
+                unfilled = len(idle) - len(assignments)
+                self.stats["t_seed"] += time.time() - t0
+                if assignments:
+                    t0 = time.time()
+                    reset_mask = np.zeros(B, bool)
+                    reset_pos = np.zeros((B, 3), np.int32)
+                    new_sv = np.array(self.lane_slot)
+                    for li, k, pos in assignments:
+                        slot = self.slots[k]
+                        slot._start_lane(li, pos)
+                        reset_mask[li] = True
+                        reset_pos[li] = pos
+                        new_sv[li] = k
+                        self.lane_slot[li] = k
+                        self._skip_base[li] = 0
+                    self._state = engine.reseed_lanes(
+                        self._state, reset_mask, reset_pos,
+                        init_activation, sv=np.maximum(new_sv, 0))
+                    self.stats["t_reseed"] += time.time() - t0
 
             running = [li for li, lane in enumerate(self._lanes)
                        if lane.state == _RUNNING]
-            if not running:
+            if not running and n_fifo == 0:
                 # Pools were empty. Force a blocking draw+screen (the
                 # round it would normally hide behind doesn't exist);
                 # verdicts are banked at the top of the next iteration.
@@ -526,10 +741,17 @@ class MultiSubvolumeHopDriver:
             # culls the weak seeds that made fresh rounds wasteful.)
             hops = self.hops
             t0 = time.time()
-            self._state, packed_dev = engine.run_hops(
-                self._image_dev, self._blocked_dev, self._state,
-                hops, self.max_iters_per_segment,
-                shapes=self.shapes, sync=False)
+            if self.device_finalize:
+                self._state, self._fstate, packed_dev = engine.run_hops(
+                    self._image_dev, self._blocked_dev, self._state,
+                    hops, self.max_iters_per_segment,
+                    shapes=self.shapes, sync=False,
+                    fstate=self._fstate, fin_opts=self._fin_opts())
+            else:
+                self._state, packed_dev = engine.run_hops(
+                    self._image_dev, self._blocked_dev, self._state,
+                    hops, self.max_iters_per_segment,
+                    shapes=self.shapes, sync=False)
             t1 = time.time()
             self._dispatch_screens(active, relax_quota=unfilled)
             t2 = time.time()
@@ -548,11 +770,21 @@ class MultiSubvolumeHopDriver:
                 self.stats.get("max_lane_pops", 0),
                 int(aux["pops"].max()))
             self.stats["lane_rounds"] += B
-            self.stats["running_lane_rounds"] += len(running)
+            # Device-finalize: kernel reseeds mid-round, so lanes seeded
+            # from this round's FIFO count toward occupancy (upper
+            # bound; the exact number isn't known until drain).
+            self.stats["running_lane_rounds"] += (
+                min(B, len(running) + n_fifo) if self.device_finalize
+                else len(running))
 
             # 4. Ingest, routing each lane to its owning slot.
             t0 = time.time()
-            self._ingest(aux)
+            if self.device_finalize:
+                rows, fifo_head = engine.drain_log(self._fstate)
+                self._rebank_fifo(fifo_head)
+                self._ingest_device(aux, rows)
+            else:
+                self._ingest(aux)
             t_ing = time.time() - t0
             self.stats["t_ingest"] += t_ing
             if trace:

@@ -141,7 +141,8 @@ class ShardedInferenceDriver:
     def run_worker_fused(self, worker_id: int = 0, num_workers: int = 1,
                          runner: Optional[runner_lib.Runner] = None,
                          lanes: int = 64, slots: int = 4, hops: int = 16,
-                         keep_probability_maps: bool = False) -> int:
+                         keep_probability_maps: bool = False,
+                         device_finalize: bool = True) -> int:
         """Processes this worker's subvolumes CONCURRENTLY in one engine
         batch (parallel.multi_canvas): lanes starved by one subvolume's
         seed supply refill from another, so the conv batch stays full on
@@ -188,7 +189,8 @@ class ShardedInferenceDriver:
 
         driver = multi_canvas.MultiSubvolumeHopDriver(
             runner, tasks, lanes=lanes, slots=slots, hops=hops,
-            keep_probability_maps=keep_probability_maps)
+            keep_probability_maps=keep_probability_maps,
+            device_finalize=device_finalize)
         return driver.run()
 
     def _install_handoff_policy(self, runner, index):

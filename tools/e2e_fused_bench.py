@@ -101,8 +101,9 @@ def main():
 
     multi_canvas.MultiSubvolumeHopDriver.run = run_and_capture
     t0 = time.time()
-    done = driver.run_worker_fused(runner=runner, lanes=lanes,
-                                   slots=slots, hops=hops)
+    done = driver.run_worker_fused(
+        runner=runner, lanes=lanes, slots=slots, hops=hops,
+        device_finalize=os.environ.get("F_DEVFIN", "1") == "1")
     wall = time.time() - t0
     multi_canvas.MultiSubvolumeHopDriver.run = orig_run
     if stats_box:

@@ -423,34 +423,86 @@ def _scan_body(model, tx: optax.GradientTransformation,
 
 
 def make_fov_train_step(model, tx: optax.GradientTransformation,
-                        mesh: Optional[Mesh] = None):
+                        mesh: Optional[Mesh] = None, config=None):
     """Single-FOV jitted step for the host-loop trainer (exact reference
     semantics for data-dependent policies).
 
-    (params, opt_state, seed, image, label, weights) ->
-        (params, opt_state, updated_seed, loss)
-    """
-    def train_step(params, opt_state, seed, image, labels, weights):
-        def loss_fn(p):
-            logits = model.apply(p, image, jax.lax.stop_gradient(seed))
-            ce = sigmoid_ce(logits, labels) * weights
-            return ce.mean(), logits
+    Without config (legacy):
+      (params, opt_state, seed, image, label, weights) ->
+          (params, opt_state, updated_seed, loss)
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn,
-                                                   has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, logits, loss
+    With config, the step carries the same training features as the scan
+    trainer — EMA params, loss scaling with non-finite-update skipping:
+      (params, opt_state, ema_params, scale_state, seed, image, label,
+       weights) -> (params, opt_state, ema_params, scale_state,
+                    updated_seed, loss)
+    (Mixed-precision compute is a model property — construct the model
+    with dtype=policy.compute_dtype as run_training does.)
+    """
+    if config is None:
+        def train_step(params, opt_state, seed, image, labels, weights):
+            def loss_fn(p):
+                logits = model.apply(p, image,
+                                     jax.lax.stop_gradient(seed))
+                ce = sigmoid_ce(logits, labels) * weights
+                return ce.mean(), logits
+
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, logits, loss
+
+        donate = (0, 1)
+        shard_sig = ("r", "r", "b", "b", "b", "b")
+        out_sig = ("r", "r", "b", "r")
+    else:
+        use_ema = config.ema_decay > 0
+
+        def train_step(params, opt_state, ema_params, scale_state, seed,
+                       image, labels, weights):
+            def loss_fn(p):
+                logits = model.apply(p, image,
+                                     jax.lax.stop_gradient(seed))
+                ce = sigmoid_ce(logits, labels) * weights
+                loss = ce.mean()
+                return scale_state.scale_loss(loss), (loss, logits)
+
+            (_, (loss, logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            grads = scale_state.unscale(grads)
+            finite = precision_lib.all_finite(grads)
+            scale_state = scale_state.adjust(finite)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            # where (not multiply): NaN updates must not poison params.
+            updates = jax.tree.map(
+                lambda u: jnp.where(finite, u, jnp.zeros_like(u)),
+                updates)
+            params = optax.apply_updates(params, updates)
+            opt_state = precision_lib.select_tree(finite, new_opt_state,
+                                                  opt_state)
+            if use_ema:
+                d = config.ema_decay
+                ema_params = jax.tree.map(
+                    lambda e, q: d * e + (1.0 - d) * q, ema_params,
+                    params)
+            return (params, opt_state, ema_params, scale_state, logits,
+                    loss)
+
+        donate = (0, 1, 2, 3)
+        shard_sig = ("r", "r", "r", "r", "b", "b", "b", "b")
+        out_sig = ("r", "r", "r", "r", "b", "r")
 
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        return jax.jit(train_step, donate_argnums=donate)
     repl = NamedSharding(mesh, P())
     batched = NamedSharding(mesh, P("data"))
+    pick = {"r": repl, "b": batched}
     return jax.jit(
         train_step,
-        in_shardings=(repl, repl, batched, batched, batched, batched),
-        out_shardings=(repl, repl, batched, repl),
-        donate_argnums=(0, 1))
+        in_shardings=tuple(pick[s] for s in shard_sig),
+        out_shardings=tuple(pick[s] for s in out_sig),
+        donate_argnums=donate)
 
 
 def make_data_mesh(devices=None, batch_size: Optional[int] = None) -> Mesh:

@@ -466,15 +466,25 @@ def run_training_host_loop(model_name: str, model_args: str,
     from ffn_tpu.training import examples as examples_lib
     from ffn_tpu.training import tracker as tracker_lib
 
+    from ffn_tpu.training import precision as precision_lib
+
     model_cls = registry.import_symbol(model_name)
     kwargs = json.loads(model_args) if model_args else {}
+    kwargs.setdefault("depth", config.depth)
+    kwargs.setdefault("features", config.features)
+    if config.precision != "f32":
+        # Mixed precision, same recipe as the scan trainer: convs run in
+        # the compute dtype, params stay f32, f16 adds loss scaling.
+        policy = precision_lib.get_policy(config.precision)
+        kwargs.setdefault("dtype", policy.compute_dtype)
+        kwargs.setdefault("precision", None)
     model = model_cls(**kwargs)
     info = model.info
 
-    tx = optimizer_lib.optimizer_from_config(config.optimizer)
-    params = model.init_params()
-    opt_state = tx.init(params)
-    step_fn = train_lib.make_fov_train_step(model, tx)
+    state, tx = train_lib.create_train_state(model, config)
+    params, opt_state = state.params, state.opt_state
+    ema_params, scale_state = state.ema_params, state.scale_state
+    step_fn = train_lib.make_fov_train_step(model, tx, config=config)
 
     canvas_zyx = tuple(int(v) for v in
                        train_lib.train_canvas_size(info, config)[::-1])
@@ -511,6 +521,28 @@ def run_training_host_loop(model_name: str, model_args: str,
     threshold = float(np_logit(config.threshold))
     shifts = mi.shift_collection(info.deltas)
 
+    # FOV-movement policy dispatch, mirroring the reference's map
+    # (ref train.py:359-372 {fixed, max_pred_moves, no_step} plus the
+    # JAX trainer's fixed_window, ref jax/train.py:316-343).
+    if config.fov_policy == "fixed":
+        def policy_fn(i, s, l, t):
+            return examples_lib.fixed_offsets(
+                i, s, l, t, threshold=threshold, fov_shifts=shifts)
+    elif config.fov_policy == "fixed_window":
+        def policy_fn(i, s, l, t):
+            return examples_lib.fixed_offsets_window(
+                i, s, l, t, threshold=threshold, fov_shifts=shifts,
+                radius=int(config.fixed_window_radius))
+    elif config.fov_policy == "max_pred_moves":
+        max_radius = np.array(info.deltas) * config.fov_moves
+        def policy_fn(i, s, l, t):
+            return examples_lib.max_pred_offsets(
+                i, s, l, t, threshold=threshold, max_radius=max_radius)
+    elif config.fov_policy == "no_step":
+        policy_fn = examples_lib.no_offsets
+    else:
+        raise ValueError(f"unknown fov_policy {config.fov_policy!r}")
+
     def load_example():
         img, lab, w, coord, name = loader()
         # crop to canvas sizes expected by the example engine
@@ -518,9 +550,7 @@ def run_training_host_loop(model_name: str, model_args: str,
 
     def make_gen():
         return examples_lib.get_example(
-            load_example, tracker, info,
-            lambda i, s, l, t: examples_lib.fixed_offsets(
-                i, s, l, t, threshold=threshold, fov_shifts=shifts),
+            load_example, tracker, info, policy_fn,
             seed_pad=config.seed_pad, seed_shape=canvas_zyx)
 
     batch_it = examples_lib.BatchExampleIter(
@@ -534,21 +564,26 @@ def run_training_host_loop(model_name: str, model_args: str,
     if latest is not None:
         start_step = latest
         params, opt_state = _restore(ckpt_dir, latest, opt_state)
+        ema_params, scale_state, _ = _restore_extra(
+            ckpt_dir, latest, ema_params, scale_state, rng)
         logging.info("Resumed from step %d", start_step)
 
     # Note: the host-loop trainer's data position is NOT checkpointed —
     # examples span a variable number of steps (in-flight FOV queues), so
-    # there is no well-defined cursor. The scan trainer (run_training) is
-    # the exact-resume path.
+    # there is no well-defined cursor (the augmentation RNG state IS
+    # restored). The scan trainer (run_training) is the exact-resume
+    # path.
     stop = _PreemptionWatcher()
     t_last = time.time()
     summaries = {}
     for step in range(start_step, loop.max_steps):
         seeds, images, labels, weights = next(batch_it)
-        params, opt_state, logits, loss = step_fn(
-            params, opt_state, jnp.asarray(seeds), jnp.asarray(images),
+        (params, opt_state, ema_params, scale_state, logits,
+         loss) = step_fn(
+            params, opt_state, ema_params, scale_state,
+            jnp.asarray(seeds), jnp.asarray(images),
             jnp.asarray(labels), jnp.asarray(weights))
-        batch_it.update_seeds(np.asarray(logits))
+        batch_it.update_seeds(np.asarray(logits, np.float32))
 
         if (step + 1) % loop.summary_every_steps == 0:
             summaries = tracker.get_summaries()
@@ -562,6 +597,8 @@ def run_training_host_loop(model_name: str, model_args: str,
         if (step + 1) % loop.checkpoint_every_steps == 0 or \
                 step + 1 == loop.max_steps or stop.requested:
             _save(ckpt_dir, step + 1, params, opt_state)
+            _save_extra(ckpt_dir, step + 1, ema_params, scale_state,
+                        rng, 0)
             _apply_keep_policy(ckpt_dir, loop)
         if stop.requested:
             logging.info("Preemption requested; checkpointed at step %d "

@@ -125,3 +125,67 @@ def test_train_cli_host_loop(dataset):
                  open(f"{dataset}/train_hl/summaries.jsonl")]
     assert summaries[-1]["step"] == 3
     assert os.path.exists(f"{dataset}/train_hl/ckpt/model.ckpt-3.npz")
+
+
+def test_train_cli_host_loop_policies(dataset):
+    """The host-loop trainer dispatches every reference FOV policy
+    (ref train.py:359-372 + jax/train.py fixed_window)."""
+    if not os.path.exists(f"{dataset}/coords.npz"):
+        test_build_coordinates_and_train(dataset)
+    model_args = json.dumps({"depth": 1, "features": 2,
+                             "fov_size": [9, 9, 9], "deltas": [2, 2, 2]})
+    for policy in ("max_pred_moves", "fixed_window", "no_step"):
+        result = run_tool([
+            "train.py", "--trainer=host_loop",
+            f"--fov_policy={policy}", "--fixed_window_radius=1",
+            f"--train_coords={dataset}/coords.npz",
+            f"--data_volumes=v:{dataset}/data.h5:img",
+            f"--label_volumes=v:{dataset}/data.h5:seg",
+            f"--model_args={model_args}",
+            f"--train_dir={dataset}/train_{policy}",
+            "--image_mean=128", "--image_stddev=33",
+            "--batch_size=2", "--max_steps=2",
+            "--summary_every_steps=1", "--checkpoint_every_steps=2"],
+            timeout=1200)
+        assert result.returncode == 0, (policy, result.stderr[-3000:])
+        summaries = [json.loads(l) for l in
+                     open(f"{dataset}/train_{policy}/summaries.jsonl")]
+        assert summaries[-1]["step"] == 2, policy
+        assert np.isfinite(summaries[-1]["eval/patch_loss"]), policy
+
+
+def test_train_cli_host_loop_ema_bf16_resume(dataset):
+    """Host-loop trainer with EMA + bf16 mixed precision, checkpointed
+    and resumed: EMA params persist across the restart (feature parity
+    with the scan trainer for data-dependent policies)."""
+    if not os.path.exists(f"{dataset}/coords.npz"):
+        test_build_coordinates_and_train(dataset)
+    model_args = json.dumps({"depth": 1, "features": 2,
+                             "fov_size": [9, 9, 9], "deltas": [2, 2, 2]})
+    base = [
+        "train.py", "--trainer=host_loop", "--fov_policy=max_pred_moves",
+        "--precision=bf16", "--ema_decay=0.9",
+        f"--train_coords={dataset}/coords.npz",
+        f"--data_volumes=v:{dataset}/data.h5:img",
+        f"--label_volumes=v:{dataset}/data.h5:seg",
+        f"--model_args={model_args}",
+        f"--train_dir={dataset}/train_hl_ema",
+        "--image_mean=128", "--image_stddev=33",
+        "--batch_size=2", "--summary_every_steps=1",
+        "--checkpoint_every_steps=2"]
+    result = run_tool(base + ["--max_steps=2"])
+    assert result.returncode == 0, result.stderr[-3000:]
+    extra = np.load(f"{dataset}/train_hl_ema/ckpt/extra.ckpt-2.npz")
+    assert "ema0" in extra.files  # EMA leaves checkpointed
+    ema_before = np.asarray(extra["ema0"]).copy()
+
+    result = run_tool(base + ["--max_steps=4"])  # resume 2 -> 4
+    assert result.returncode == 0, result.stderr[-3000:]
+    extra4 = np.load(f"{dataset}/train_hl_ema/ckpt/extra.ckpt-4.npz")
+    ema_after = np.asarray(extra4["ema0"])
+    assert ema_after.shape == ema_before.shape
+    assert not np.array_equal(ema_after, ema_before)  # kept evolving
+    summaries = [json.loads(l) for l in
+                 open(f"{dataset}/train_hl_ema/summaries.jsonl")]
+    assert summaries[-1]["step"] == 4
+    assert np.isfinite(summaries[-1]["eval/patch_loss"])

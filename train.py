@@ -45,6 +45,9 @@ flags.DEFINE_enum("fov_policy", "fixed",
                   ["fixed", "max_pred_moves", "no_step", "fixed_window"],
                   "FOV movement policy during training.")
 flags.DEFINE_integer("fov_moves", 1, "Number of FOV moves per axis.")
+flags.DEFINE_integer("fixed_window_radius", 8,
+                     "fixed_window policy: acceptance window radius on "
+                     "the delta shell around each move target.")
 flags.DEFINE_float("threshold", 0.9,
                    "Seed probability gate for FOV moves.")
 flags.DEFINE_boolean("shuffle_fov_moves", False,
@@ -122,6 +125,7 @@ def main(argv):
         batch_size=FLAGS.batch_size,
         fov_moves=FLAGS.fov_moves,
         fov_policy=FLAGS.fov_policy,
+        fixed_window_radius=FLAGS.fixed_window_radius,
         threshold=FLAGS.threshold,
         shuffle_fov_moves=FLAGS.shuffle_fov_moves,
         ema_decay=FLAGS.ema_decay,

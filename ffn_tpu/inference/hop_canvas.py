@@ -52,13 +52,28 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
     _allocate_seed_batch = False   # LaneState replaces _seeds_dev
 
     def __init__(self, model_info, engine, image, options, hops: int = 16,
-                 seed_screening: bool = True, **kwargs):
+                 seed_screening: bool = True, device_finalize=None,
+                 **kwargs):
         if not isinstance(engine, hop_engine_lib.HopEngine):
             raise TypeError("HopBatchCanvas requires a HopEngine")
         kwargs.pop("candidates_per_step", None)
         super().__init__(model_info, engine, image, options, **kwargs)
         self.hops = int(hops)
         self.seed_screening = bool(seed_screening)
+        # Device-resident finalization (claims + reseed in kernel, one
+        # log download per round; see hop_engine.FinalizeState). Opt-in
+        # here (None = FFN_TPU_DEVFIN env, default off): the fused
+        # multi-subvolume driver is the default consumer; the
+        # single-canvas path keeps host finalization for exact-serial
+        # parity work and keep_probability_maps.
+        import os as _os
+        if device_finalize is None:
+            device_finalize = bool(int(
+                _os.environ.get("FFN_TPU_DEVFIN", "0")))
+        self.device_finalize = (bool(device_finalize)
+                                and not self.keep_probability_maps
+                                and self.lanes > 1)
+        self._fstate = None
         # The per-lane device buffers replace BatchCanvas's _seeds_dev.
         self._seeds_dev = None
         self._state = engine.init_lane_state(self.lanes, self.shape)
@@ -179,6 +194,179 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
                     ready.append(pos)
         return assignments, seeds_exhausted
 
+    # -- device-finalize path --------------------------------------------------
+
+    def _merge_device_seg(self):
+        """Folds the on-device claims into the host segmentation (claims
+        only grow, so merging is idempotent)."""
+        seg_dev = self.engine.download_slot_seg(self._fstate, 0,
+                                                self.shape)
+        claimed = seg_dev > 0
+        self.segmentation[claimed] = seg_dev[claimed]
+
+    def _refill_screen_pool(self, seed_iter, seeds_exhausted, want):
+        """Draws + dud-screens candidates until `want` strong seeds are
+        banked in _screened_ready (or the supply is exhausted)."""
+        ready = getattr(self, "_screened_ready", None)
+        if ready is None:
+            ready = self._screened_ready = []
+        while len(ready) < want:
+            demand = min(2 * max(want - len(ready), 8),
+                         self.engine.SCREEN_BATCH)
+            cands, seeds_exhausted = self._draw_seeds(
+                demand, seed_iter, seeds_exhausted,
+                relax_threshold=self.lanes // 2)
+            if not cands:
+                break
+            strong = self.engine.screen_seeds(
+                self._image_dev, np.array(cands, np.int32),
+                self.options.init_activation)
+            for pos, ok in zip(cands, strong):
+                if ok:
+                    ready.append(pos)
+                else:
+                    p = tuple(int(v) for v in pos)
+                    if self.segmentation[p] == 0:
+                        self.segmentation[p] = -1
+                    self.counters["seed_got_too_weak"].Increment()
+                    self.counters["screened-weak-seeds"].Increment()
+        return seeds_exhausted
+
+    def _segment_all_device(self, seed_iter):
+        """Device-finalize main loop: claims, verdicts and lane reseed
+        run in kernel (hop_engine.FinalizeState); the host draws/screens
+        seeds, loads the per-round FIFO, and ingests a small log. The
+        segmentation crosses the link once, at the end (and at
+        checkpoints)."""
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        engine = self.engine
+        B = self.lanes
+        S = max(2 * B, 256)
+        self._fstate = engine.init_finalize_state(1, B, self.shape,
+                                                  fifo_capacity=S)
+        if self._max_id:
+            self._fstate = engine.reset_slot_seg(
+                self._fstate, 0, next_sid=self._max_id + 1)
+        fin_opts = np.array([self.options.segment_threshold,
+                             self.options.min_segment_size,
+                             self.options.init_activation], np.float32)
+        seeds_exhausted = False
+        while True:
+            self._maybe_save_checkpoint()
+            seeds_exhausted = self._refill_screen_pool(
+                seed_iter, seeds_exhausted, B)
+            ready = self._screened_ready
+            entries = []
+            while ready and len(entries) < S:
+                pos = ready.pop(0)
+                if self._valid_seed_pos(tuple(pos)):
+                    entries.append(tuple(int(v) for v in pos))
+            hold = np.array([bool(lane.spill) for lane in self._lanes],
+                            bool)
+            running = [li for li, lane in enumerate(self._lanes)
+                       if lane.state == _RUNNING]
+            if not running and not entries:
+                # With no lanes active, _draw_seeds faces no deferral
+                # boxes, so an empty refill means the supply is done.
+                if seeds_exhausted and not ready and not self._deferred:
+                    break
+                continue
+            self._fstate = engine.round_prep(
+                self._fstate,
+                np.array(entries, np.int32).reshape(-1, 3),
+                np.zeros(len(entries), np.int32), hold)
+
+            with timer_counter(self.counters, "predict"):
+                self._state, self._fstate, aux = engine.run_hops(
+                    self._image_dev, self._blocked_dev, self._state,
+                    self.hops, self.max_iters_per_segment,
+                    fstate=self._fstate, fin_opts=fin_opts)
+            rows, fifo_head = engine.drain_log(self._fstate)
+            # Unconsumed FIFO entries return to the front of the pool.
+            self._screened_ready = (list(entries[fifo_head:])
+                                    + self._screened_ready)
+
+            self.counters["fov-moves"].IncrementBy(
+                int(aux["executed"].sum()))
+            skips = np.stack([aux["skip_threshold"], aux["skip_invalid"],
+                              aux["skip_restricted"]], axis=1)
+            delta = skips - self._skip_base
+            self._skip_base = skips
+            self.counters["skip_threshold"].IncrementBy(
+                int(delta[:, 0].sum()))
+            self.counters["skip_invalid_pos"].IncrementBy(
+                int(delta[:, 1].sum()))
+            self.counters["skip_restriced_pos"].IncrementBy(
+                int(delta[:, 2].sum()))
+            if int(aux["overflow"].sum()):
+                raise AssertionError(
+                    "device queue dropped pushes despite the stall gate")
+
+            for row in rows:
+                (_, sid, z, y, x, iters, nvox, status, outcome,
+                 li) = (int(v) for v in row)
+                pos = (z, y, x)
+                if status == hop_engine_lib.DONE_CAP:
+                    self.counters["iter-cap-hit"].Increment()
+                if outcome == hop_engine_lib.FIN_SEGMENTED:
+                    self.origins[sid] = storage.OriginInfo(pos, iters,
+                                                           0.0)
+                    self.overlaps[sid] = np.zeros((2, 0), np.int64)
+                    self._max_id = max(self._max_id, sid)
+                    self.counters["voxels-segmented"].IncrementBy(nvox)
+                    self.log_info(
+                        "lane %d: created supervoxel:%d seed(zyx):%s "
+                        "size:%d iters:%d", li, sid, pos, nvox, iters)
+                elif outcome == hop_engine_lib.FIN_WEAK:
+                    if self.segmentation[pos] == 0:
+                        self.segmentation[pos] = -1
+                    self.counters["seed_got_too_weak"].Increment()
+                elif outcome == hop_engine_lib.FIN_CLAIMED:
+                    self.counters["seed-claimed-drops"].Increment()
+                elif outcome == hop_engine_lib.FIN_TOO_SMALL:
+                    if self.segmentation[pos] == 0:
+                        self.segmentation[pos] = -1
+                    self.counters["segments-too-small"].Increment()
+
+            status_host = None
+            status_dirty = False
+            for li, lane in enumerate(self._lanes):
+                st = int(aux["status"][li])
+                lane.start_pos = np.asarray(aux["start"][li])
+                lane.min_pos = np.asarray(aux["minp"][li])
+                lane.max_pos = np.asarray(aux["maxp"][li])
+                lane.num_iters = int(aux["iters"][li])
+                if st == hop_engine_lib.RUNNING:
+                    lane.state = _RUNNING
+                elif st == hop_engine_lib.STALLED_FULL:
+                    lane.state = _RUNNING
+                    if status_host is None:
+                        status_host = np.array(self._state.status)
+                    self._drain_lane_queue(li, lane)
+                    status_host[li] = hop_engine_lib.RUNNING
+                    status_dirty = True
+                elif st == hop_engine_lib.DONE_EMPTY:
+                    # Only reachable with hold (host-held spill).
+                    if lane.spill and self._requeue_spill(li, lane):
+                        lane.state = _RUNNING
+                        if status_host is None:
+                            status_host = np.array(self._state.status)
+                        status_host[li] = hop_engine_lib.RUNNING
+                        status_dirty = True
+                    else:
+                        # Spill fully stale: hold clears next round and
+                        # the kernel finalizes at the next hop entry.
+                        lane.state = _RUNNING
+                else:
+                    lane.state = _IDLE
+            if status_dirty:
+                self._state = _dc.replace(
+                    self._state, status=jnp.asarray(status_host))
+        self._merge_device_seg()
+
     # -- main loop -------------------------------------------------------------
 
     def segment_all(self, seed_policy=seed_lib.PolicyPeaks,
@@ -191,6 +379,11 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
         seed_iter = TimedIter(self.seed_policy, self.counters,
                               "seed-policy")
         seeds_exhausted = False
+        if self.device_finalize:
+            with timer_counter(self.counters, "segment_all"):
+                self._segment_all_device(seed_iter)
+            self.log_info("Segmentation done.")
+            return
 
         with timer_counter(self.counters, "segment_all"):
             while True:
@@ -444,6 +637,11 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
     # -- checkpointing ---------------------------------------------------------
 
     def save_checkpoint(self, path: str):
+        if self._fstate is not None:
+            # Fold device claims into the host segmentation first; on
+            # restore they re-enter the kernel via the blocked volume
+            # and next_sid continues from _max_id.
+            self._merge_device_seg()
         self.log_info("Saving hop-canvas checkpoint to %s.", path)
         with timer_counter(self.counters, "save_checkpoint"):
             lanes_state = []

@@ -139,3 +139,24 @@ def test_tail_compaction_preserves_results():
     a = np.maximum(hc.segmentation, 0)
     b = np.maximum(ref.segmentation, 0)
     assert len(np.unique(a[a > 0])) == len(np.unique(b[b > 0]))
+
+
+def test_device_finalize_object_equivalence():
+    """Single-canvas device-finalize (claims + verdicts + reseed in
+    kernel) produces the same objects and coverage as host finalize."""
+    dev = run_hop(lanes=4, hops=8, device_finalize=True)
+    host = run_hop(lanes=4, hops=8, device_finalize=False)
+    a = np.maximum(dev.segmentation, 0)
+    b = np.maximum(host.segmentation, 0)
+    assert len(np.unique(a[a > 0])) == len(np.unique(b[b > 0]))
+    assert len(dev.origins) == len(host.origins)
+    inter = ((a > 0) & (b > 0)).sum()
+    union = ((a > 0) | (b > 0)).sum()
+    assert inter / union > 0.95
+    # Per-object 1:1 mapping (majority both ways).
+    for x, y in ((a, b), (b, a)):
+        for oid in np.unique(x[x > 0]):
+            votes = y[x == oid].astype(np.int64)
+            votes = votes[votes > 0]
+            assert votes.size
+            assert np.bincount(votes).max() / votes.size > 0.98

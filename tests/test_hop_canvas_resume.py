@@ -18,13 +18,14 @@ class _Die(Exception):
     pass
 
 
-def _interrupted_hop_canvas(cpoint, lanes=4, hops=3, die_after=4):
+def _interrupted_hop_canvas(cpoint, lanes=4, hops=3, die_after=4,
+                            **kwargs):
     image = make_image()
     opts = make_options()
     model, eng = make_hop_engine(opts)
     hc = hop_canvas_lib.HopBatchCanvas(
         model.info, eng, image, opts, lanes=lanes, hops=hops,
-        checkpoint_path=cpoint, checkpoint_interval_sec=1e-9)
+        checkpoint_path=cpoint, checkpoint_interval_sec=1e-9, **kwargs)
     rounds = {"n": 0}
     orig = hc.save_checkpoint
 
@@ -99,3 +100,28 @@ def test_legacy_batch_checkpoint_restores_into_hop_mode(tmp_path):
     np.testing.assert_array_equal(
         np.maximum(hc.segmentation, 0),
         np.maximum(reference.segmentation, 0))
+
+
+def test_hop_kill_and_resume_device_finalize(tmp_path):
+    """Device-finalize canvases checkpoint (claims merged to host) and
+    resume: the restored run finishes with equivalent objects."""
+    cpoint = str(tmp_path / "cpoint.npz")
+    uninterrupted = run_hop(lanes=4, hops=3, device_finalize=True)
+
+    hc, rounds = _interrupted_hop_canvas(cpoint, device_finalize=True)
+    assert any(lane.num_iters > 0 for lane in hc._lanes) or hc.origins
+
+    opts = make_options()
+    model2, eng2 = make_hop_engine(opts)
+    hc2 = hop_canvas_lib.HopBatchCanvas(
+        model2.info, eng2, make_image(), opts, lanes=4, hops=3,
+        device_finalize=True)
+    hc2.restore_checkpoint(cpoint)
+    hc2.segment_all(seed_policy=GridSeeds)
+
+    a = np.maximum(hc2.segmentation, 0)
+    b = np.maximum(uninterrupted.segmentation, 0)
+    assert len(np.unique(a[a > 0])) == len(np.unique(b[b > 0]))
+    inter = ((a > 0) & (b > 0)).sum()
+    union = ((a > 0) | (b > 0)).sum()
+    assert inter / union > 0.95

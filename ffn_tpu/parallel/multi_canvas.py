@@ -753,6 +753,17 @@ class MultiSubvolumeHopDriver:
                     hops, self.max_iters_per_segment,
                     shapes=self.shapes, sync=False)
             t1 = time.time()
+            # Enqueue the round-result D2H copies BEFORE the screen
+            # programs below: transfers and programs share one device
+            # queue on the tunneled runtime, so issuing them here lets
+            # unpack_aux/drain_log read buffers that were copied out the
+            # moment the round finished instead of waiting behind the
+            # screen convs.
+            packed_dev.copy_to_host_async()
+            if self.device_finalize:
+                self._fstate.log.copy_to_host_async()
+                self._fstate.log_n.copy_to_host_async()
+                self._fstate.fifo_head.copy_to_host_async()
             self._dispatch_screens(active, relax_quota=unfilled)
             t2 = time.time()
             aux = engine.unpack_aux(packed_dev)

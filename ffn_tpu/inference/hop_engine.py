@@ -880,6 +880,7 @@ class HopEngine(FloodFillEngine):
         return state, packed
 
     SCREEN_BATCH = 256
+    SCREEN_BATCH_SMALL = 64
 
     def screen_seeds(self, image: jax.Array, positions: np.ndarray,
                      init_activation: float,
@@ -958,6 +959,11 @@ class HopEngine(FloodFillEngine):
         if sv is None:
             sv = np.zeros(n, np.int32)
         sv = np.asarray(sv, np.int32)
+        # Two padded program sizes: production screen calls average
+        # ~50 candidates (watermark top-ups), so padding every call to
+        # SCREEN_BATCH wastes ~3x the conv compute the candidates need.
+        # The small bucket costs one extra compile, once.
+        B = B if n > self.SCREEN_BATCH_SMALL else self.SCREEN_BATCH_SMALL
         if n < B:   # pad to the fixed batch (one compiled program)
             positions = np.concatenate(
                 [positions, np.tile(positions[-1:], (B - n, 1))])

@@ -792,6 +792,13 @@ class MultiSubvolumeHopDriver:
             t0 = time.time()
             if self.device_finalize:
                 rows, fifo_head = engine.drain_log(self._fstate)
+                t_drain = time.time() - t0
+                self.stats["t_drain"] = self.stats.get(
+                    "t_drain", 0.0) + t_drain
+                self.stats["fifo_loaded"] = self.stats.get(
+                    "fifo_loaded", 0) + len(self._fifo_entries)
+                self.stats["fifo_consumed"] = self.stats.get(
+                    "fifo_consumed", 0) + fifo_head
                 self._rebank_fifo(fifo_head)
                 self._ingest_device(aux, rows)
             else:

@@ -117,6 +117,9 @@ def main():
                 r["executed"] / max(r["running_lane_rounds"], 1), 2),
             "t_hops_s": round(r["t_hops"], 1),
             "t_ingest_s": round(r["t_ingest"], 1),
+            "t_drain_s": round(r.get("t_drain", 0.0), 1),
+            "fifo_loaded": r.get("fifo_loaded", 0),
+            "fifo_consumed": r.get("fifo_consumed", 0),
             "t_seed_s": round(r["t_seed"], 1),
             "t_reseed_s": round(r["t_reseed"], 1),
             "t_screen_s": round(r.get("t_screen", 0.0), 1),

@@ -42,6 +42,51 @@ _IDLE = batch_canvas_lib._IDLE
 _RUNNING = batch_canvas_lib._RUNNING
 
 
+def apply_finalize_rows(rows, lanes, slot_for_row):
+    """Applies one round's kernel finalization log to host bookkeeping
+    (origins, counters, weak/too-small markers). Shared by the
+    single-canvas device-finalize loop and the fused multi-subvolume
+    driver (`slot_for_row(k)` resolves a log row's subvolume slot; the
+    fused driver returns None for slots saved since the round was
+    dispatched).
+
+    Any log row for a lane also clears that lane's host-held spill
+    list: the row means the kernel finalized the lane's object (a held
+    lane can still die DONE_WEAK / DONE_CAP — the hold flag only blocks
+    DONE_EMPTY finalization), so spilled queue entries belong to a dead
+    object. Requeuing them later would extend the lane's NEXT object
+    through positions it never queued.
+    """
+    for row in rows:
+        (k, sid, z, y, x, iters, nvox, status, outcome,
+         li) = (int(v) for v in row)
+        lanes[li].spill = []
+        slot = slot_for_row(k)
+        if slot is None:
+            continue
+        pos = (z, y, x)
+        if status == hop_engine_lib.DONE_CAP:
+            slot.counters["iter-cap-hit"].Increment()
+        if outcome == hop_engine_lib.FIN_SEGMENTED:
+            slot.origins[sid] = storage.OriginInfo(pos, iters, 0.0)
+            slot.overlaps[sid] = np.zeros((2, 0), np.int64)
+            slot._max_id = max(slot._max_id, sid)
+            slot.counters["voxels-segmented"].IncrementBy(nvox)
+            slot.log_info(
+                "lane %d: created supervoxel:%d seed(zyx):%s "
+                "size:%d iters:%d", li, sid, pos, nvox, iters)
+        elif outcome == hop_engine_lib.FIN_WEAK:
+            if slot.segmentation[pos] == 0:
+                slot.segmentation[pos] = -1
+            slot.counters["seed_got_too_weak"].Increment()
+        elif outcome == hop_engine_lib.FIN_CLAIMED:
+            slot.counters["seed-claimed-drops"].Increment()
+        elif outcome == hop_engine_lib.FIN_TOO_SMALL:
+            if slot.segmentation[pos] == 0:
+                slot.segmentation[pos] = -1
+            slot.counters["segments-too-small"].Increment()
+
+
 class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
     """Batched flood fill with on-device movement (see module docstring).
 
@@ -206,7 +251,16 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
 
     def _refill_screen_pool(self, seed_iter, seeds_exhausted, want):
         """Draws + dud-screens candidates until `want` strong seeds are
-        banked in _screened_ready (or the supply is exhausted)."""
+        banked in _screened_ready (or the supply is exhausted).
+
+        The relaxed (deferral-bypassing) pass inside _draw_seeds is
+        deliberately NOT capped here the way the fused driver caps its
+        relax quota: capping changes which deferred seed floods first,
+        which moves membrane-gap fragments (and so object counts)
+        enough to shift cross-path parity tests — the single-canvas
+        quality numbers were measured with this schedule. The duplicate
+        compute only matters at production lane counts, where the fused
+        driver (with its hollow-lane cap) is the path that runs."""
         ready = getattr(self, "_screened_ready", None)
         if ready is None:
             ready = self._screened_ready = []
@@ -284,7 +338,13 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
                     self._image_dev, self._blocked_dev, self._state,
                     self.hops, self.max_iters_per_segment,
                     fstate=self._fstate, fin_opts=fin_opts)
-            rows, fifo_head = engine.drain_log(self._fstate)
+            rows, fifo_head, fifo_claimed = engine.drain_log(
+                self._fstate)
+            if int(fifo_claimed[0]):
+                # FIFO seeds the kernel skipped as claimed-at-pop: the
+                # host path counts the same event in _valid_seed_pos.
+                self.counters["skip_invalid_pos"].IncrementBy(
+                    int(fifo_claimed[0]))
             # Unconsumed FIFO entries return to the front of the pool.
             self._screened_ready = (list(entries[fifo_head:])
                                     + self._screened_ready)
@@ -305,31 +365,7 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
                 raise AssertionError(
                     "device queue dropped pushes despite the stall gate")
 
-            for row in rows:
-                (_, sid, z, y, x, iters, nvox, status, outcome,
-                 li) = (int(v) for v in row)
-                pos = (z, y, x)
-                if status == hop_engine_lib.DONE_CAP:
-                    self.counters["iter-cap-hit"].Increment()
-                if outcome == hop_engine_lib.FIN_SEGMENTED:
-                    self.origins[sid] = storage.OriginInfo(pos, iters,
-                                                           0.0)
-                    self.overlaps[sid] = np.zeros((2, 0), np.int64)
-                    self._max_id = max(self._max_id, sid)
-                    self.counters["voxels-segmented"].IncrementBy(nvox)
-                    self.log_info(
-                        "lane %d: created supervoxel:%d seed(zyx):%s "
-                        "size:%d iters:%d", li, sid, pos, nvox, iters)
-                elif outcome == hop_engine_lib.FIN_WEAK:
-                    if self.segmentation[pos] == 0:
-                        self.segmentation[pos] = -1
-                    self.counters["seed_got_too_weak"].Increment()
-                elif outcome == hop_engine_lib.FIN_CLAIMED:
-                    self.counters["seed-claimed-drops"].Increment()
-                elif outcome == hop_engine_lib.FIN_TOO_SMALL:
-                    if self.segmentation[pos] == 0:
-                        self.segmentation[pos] = -1
-                    self.counters["segments-too-small"].Increment()
+            apply_finalize_rows(rows, self._lanes, lambda k: self)
 
             status_host = None
             status_dirty = False

@@ -125,6 +125,10 @@ class FinalizeState:
     log_n: jax.Array     # () int32 rows written this round
     hold: jax.Array      # (B,) bool: host holds spilled queue entries
     #   for this lane; the kernel must NOT finalize it on DONE_EMPTY
+    claimed: jax.Array   # (K,) int32 FIFO seeds skipped at pop this
+    #   round (claimed between host screening and the kernel's
+    #   zero-staleness recheck) — the device analog of the host path's
+    #   _valid_seed_pos skip counting at assignment time
 
 
 class HopEngine(FloodFillEngine):
@@ -189,7 +193,8 @@ class HopEngine(FloodFillEngine):
             fifo_pos=z(S, 3), fifo_sv=z(S),
             fifo_n=jnp.int32(0), fifo_head=jnp.int32(0),
             log=z(L, 10), log_n=jnp.int32(0),
-            hold=jnp.zeros((lanes,), bool))
+            hold=jnp.zeros((lanes,), bool),
+            claimed=z(K))
 
     def round_prep(self, fstate: FinalizeState, pos: np.ndarray,
                    sv: np.ndarray, hold: np.ndarray) -> FinalizeState:
@@ -208,7 +213,8 @@ class HopEngine(FloodFillEngine):
                 return dataclasses.replace(
                     fstate, fifo_pos=pos, fifo_sv=sv, fifo_n=n,
                     fifo_head=jnp.int32(0), log_n=jnp.int32(0),
-                    hold=hold)
+                    hold=hold,
+                    claimed=jnp.zeros_like(fstate.claimed))
 
             self._round_prep_fn = jax.jit(fn, donate_argnums=(0,))
         return self._round_prep_fn(
@@ -216,14 +222,17 @@ class HopEngine(FloodFillEngine):
             jnp.int32(n), jnp.asarray(hold, bool))
 
     def drain_log(self, fstate: FinalizeState):
-        """Downloads this round's finalization rows (host bookkeeping)
-        and the FIFO consumption cursor. Returns (rows (N, 10) int64,
-        fifo_head int)."""
+        """Downloads this round's finalization rows (host bookkeeping),
+        the FIFO consumption cursor, and the per-slot count of FIFO
+        seeds the kernel skipped as already-claimed. Returns
+        (rows (N, 10) int64, fifo_head int, claimed (K,) int64)."""
         n = int(np.asarray(fstate.log_n))
         head = int(np.asarray(fstate.fifo_head))
+        claimed = np.asarray(fstate.claimed).astype(np.int64)
         if n == 0:
-            return np.zeros((0, 10), np.int64), head
-        return np.asarray(fstate.log)[:n].astype(np.int64), head
+            return np.zeros((0, 10), np.int64), head, claimed
+        return (np.asarray(fstate.log)[:n].astype(np.int64), head,
+                claimed)
 
     def reset_slot_seg(self, fstate: FinalizeState, slot: int,
                        next_sid: int = 1) -> FinalizeState:
@@ -627,6 +636,14 @@ class HopEngine(FloodFillEngine):
             head, got, pos2, sv2 = jax.lax.while_loop(
                 pop_cond, pop_body,
                 (fstate.fifo_head, jnp.bool_(False), start, sv))
+            # Entries advanced past were claimed since screening; count
+            # them per slot (host parity: _valid_seed_pos counts the
+            # same event at host assignment time).
+            fidx = jnp.arange(fstate.fifo_sv.shape[0], dtype=jnp.int32)
+            skipped = ((fidx >= fstate.fifo_head)
+                       & (fidx < head - got.astype(jnp.int32)))
+            claimed = fstate.claimed.at[fstate.fifo_sv].add(
+                skipped.astype(jnp.int32))
 
             # Reset lane li: blank seed with the init activation planted
             # at the new origin (one lane-sized temp, ~2 bytes/voxel).
@@ -676,7 +693,7 @@ class HopEngine(FloodFillEngine):
                 fifo_pos=fstate.fifo_pos, fifo_sv=fstate.fifo_sv,
                 fifo_n=fstate.fifo_n, fifo_head=head,
                 log=log, log_n=fstate.log_n + do_fin.astype(jnp.int32),
-                hold=fstate.hold)
+                hold=fstate.hold, claimed=claimed)
             return state, fstate
 
         def finalize_pass(state, fstate):
@@ -715,10 +732,12 @@ class HopEngine(FloodFillEngine):
         def hop(carry):
             state, fstate, executed_total, pops_total = carry
             # Finalize/reseed at hop ENTRY so refilled lanes execute
-            # this hop's conv. Lanes that die in the round's last hop
-            # are finalized at the next round's first hop (the host
-            # sees their DONE_* status meanwhile and must not treat
-            # them as finalized).
+            # this hop's conv. A trailing finalize_pass after the last
+            # hop handles same-round finishers, so the only DONE_*
+            # statuses the host can observe at a round boundary are
+            # DONE_EMPTY under a host hold (spill pending) and
+            # STALLED_FULL; this entry pass mainly reseeds idle lanes
+            # from a FIFO the host loaded after the trailing pass ran.
             if device_finalize:
                 state, fstate = finalize_pass(state, fstate)
             seg_now = fstate.seg if device_finalize else None

@@ -222,12 +222,16 @@ class MultiSubvolumeHopDriver:
                 corner_zyx=inputs["dst_corner"],
                 keep_probability_maps=self.keep_probability_maps,
                 max_iters_per_segment=self.max_iters_per_segment)
+            # Publish the slot BEFORE loading an init segmentation:
+            # SlotCanvas._refresh_blocked (called from
+            # init_segmentation_from_volume) resolves itself through
+            # driver.slots[k].
+            self.slots[k] = slot
             if request.HasField("init_segmentation"):
                 slot.init_segmentation_from_volume(
                     self.runner.init_seg_volume, inputs["src_corner"],
                     inputs["src_bbox"].end[::-1],
                     inputs["align_and_crop"])
-            self.slots[k] = slot
             self._slot_meta[k] = (corner, size, inputs["alignment"])
             self.shapes[k] = np.array(slot.shape, np.int32)
             self._image_dev = self.engine.update_stack_slot(
@@ -429,8 +433,10 @@ class MultiSubvolumeHopDriver:
                     break
                 cap = demand if not relax \
                     else min(demand, len(cands) + relax_left)
-                share = max(1, (demand - len(cands)) // len(order)) \
-                    if not relax else cap - len(cands)
+                # Both passes split their quota across slots (a single
+                # slot taking the whole relax quota would starve later
+                # slots every round under seed scarcity).
+                share = max(1, (cap - len(cands)) // len(order))
                 for k in order:
                     if len(cands) >= cap:
                         break
@@ -503,6 +509,11 @@ class MultiSubvolumeHopDriver:
                     break
         for k in order:   # FIFO full: keep the surplus banked
             self.slots[k].screened_ready.extend(pools[k])
+        if entries:
+            # Advance the fairness cursor (host mode advances it in
+            # _assign_seeds; without this the device-finalize draw and
+            # relax passes would always serve slot order 0..K-1).
+            self._next_serve = (entries[-1][0] + 1) % self.K
         pos = np.array([p for _, p in entries],
                        np.int32).reshape(-1, 3)
         sv = np.array([k for k, _ in entries], np.int32)
@@ -545,33 +556,8 @@ class MultiSubvolumeHopDriver:
                 f"device queue dropped {overflowed} pushes despite the "
                 "stall gate")
 
-        for row in rows:
-            (k, sid, z, y, x, iters, nvox, status, outcome,
-             li) = (int(v) for v in row)
-            slot = self.slots[k]
-            if slot is None:
-                continue   # slot saved since (cannot happen in-loop)
-            pos = (z, y, x)
-            if status == hop_engine_lib.DONE_CAP:
-                slot.counters["iter-cap-hit"].Increment()
-            if outcome == hop_engine_lib.FIN_SEGMENTED:
-                slot.origins[sid] = storage.OriginInfo(pos, iters, 0.0)
-                slot.overlaps[sid] = np.zeros((2, 0), np.int64)
-                slot._max_id = max(slot._max_id, sid)
-                slot.counters["voxels-segmented"].IncrementBy(nvox)
-                slot.log_info(
-                    "lane %d: created supervoxel:%d seed(zyx):%s "
-                    "size:%d iters:%d", li, sid, pos, nvox, iters)
-            elif outcome == hop_engine_lib.FIN_WEAK:
-                if slot.segmentation[pos] == 0:
-                    slot.segmentation[pos] = -1
-                slot.counters["seed_got_too_weak"].Increment()
-            elif outcome == hop_engine_lib.FIN_CLAIMED:
-                slot.counters["seed-claimed-drops"].Increment()
-            elif outcome == hop_engine_lib.FIN_TOO_SMALL:
-                if slot.segmentation[pos] == 0:
-                    slot.segmentation[pos] = -1
-                slot.counters["segments-too-small"].Increment()
+        hop_canvas_lib.apply_finalize_rows(
+            rows, self._lanes, lambda k: self.slots[k])
 
         skips = np.stack([aux["skip_threshold"], aux["skip_invalid"],
                           aux["skip_restricted"]], axis=1)
@@ -676,6 +662,7 @@ class MultiSubvolumeHopDriver:
                 n_fifo, unfilled = self._prep_round_fifo(active)
                 self.stats["t_seed"] += time.time() - t0
             else:
+                t0 = time.time()   # collect time is booked to t_screen
                 idle = [li for li, lane in enumerate(self._lanes)
                         if lane.state == _IDLE]
                 assignments = self._assign_seeds(idle, active)
@@ -764,6 +751,7 @@ class MultiSubvolumeHopDriver:
                 self._fstate.log.copy_to_host_async()
                 self._fstate.log_n.copy_to_host_async()
                 self._fstate.fifo_head.copy_to_host_async()
+                self._fstate.claimed.copy_to_host_async()
             self._dispatch_screens(active, relax_quota=unfilled)
             t2 = time.time()
             aux = engine.unpack_aux(packed_dev)
@@ -791,7 +779,12 @@ class MultiSubvolumeHopDriver:
             # 4. Ingest, routing each lane to its owning slot.
             t0 = time.time()
             if self.device_finalize:
-                rows, fifo_head = engine.drain_log(self._fstate)
+                rows, fifo_head, fifo_claimed = engine.drain_log(
+                    self._fstate)
+                for k, c in enumerate(fifo_claimed):
+                    if c and self.slots[k] is not None:
+                        self.slots[k].counters[
+                            "skip_invalid_pos"].IncrementBy(int(c))
                 t_drain = time.time() - t0
                 self.stats["t_drain"] = self.stats.get(
                     "t_drain", 0.0) + t_drain

@@ -158,3 +158,77 @@ def test_restore_into_fewer_lanes_keeps_objects(tmp_path):
     inter = ((a > 0) & (b > 0)).sum()
     union = ((a > 0) | (b > 0)).sum()
     assert inter / union > 0.95
+
+
+def test_stale_spill_cleared_on_kernel_finalize():
+    """Device-finalize mode: a lane whose object dies DONE_CAP while the
+    host holds spilled queue entries is finalized IN KERNEL (the hold
+    flag only blocks DONE_EMPTY finalization), so the spill goes stale.
+    apply_finalize_rows must discard it, not requeue it into the lane's
+    NEXT object. On a single canvas the kernel's claimed-at-pop check
+    absorbs most stale entries (they waste requeue churn); in the fused
+    driver the lane can be REBOUND TO ANOTHER SUBVOLUME, where slot-A
+    coordinates are unclaimed in slot B's segmentation and the flood
+    corrupts — this test drives the single-canvas scenario end to end
+    (cap with 20+ spilled entries, next object seeded from the FIFO)
+    and asserts no object ever spans two image components; the unit
+    test below pins the spill-clearing contract itself."""
+    from ffn_tpu.inference import seed as seed_lib
+
+    # L-blob (stalls the 16-entry queue and hits the 30-iter cap with
+    # spill pending, leaving an unclaimed remainder that nothing later
+    # re-seeds) + three well-separated cubes (~20 iters each: they
+    # finish DONE_EMPTY under the cap) for the other lane and the
+    # post-cap kernel reseeds.
+    cubes_yx = [(24, 24), (6, 24), (24, 6), (6, 42), (24, 42), (6, 6)]
+    image = np.full((36, 36, 60), -1.0, np.float32)
+    image[6:12, 6:30, 6:12] = 1.0
+    image[6:12, 24:30, 6:24] = 1.0
+    for y, x in cubes_yx:
+        image[24:30, y:y + 6, x:x + 6] = 1.0
+
+    class BlobThenCubes(seed_lib.BaseSeedPolicy):
+        def init_coords(self):
+            self.coords = np.array(
+                [(8, 26, 8)] + [(26, y + 2, x + 2) for y, x in cubes_yx])
+
+    opts = make_options()
+    model, eng = make_hop_engine(opts, queue_capacity=16)
+    hc = hop_canvas_lib.HopBatchCanvas(
+        model.info, eng, image, opts, lanes=2, hops=4,
+        device_finalize=True, max_iters_per_segment=30)
+    assert hc.device_finalize
+    hc.segment_all(seed_policy=BlobThenCubes)
+    # The scenario actually occurred: stall-drain spilled entries AND
+    # the iteration cap fired.
+    assert hc.counters["queue-stall-drains"].value > 0
+    assert hc.counters["iter-cap-hit"].value > 0
+
+    # No object may span the L-blob and a cube: cross-component voxels
+    # can only come from stale spill requeued into a later object.
+    seg = np.maximum(hc.segmentation, 0)
+    blob_l = np.zeros_like(seg, bool)
+    blob_l[6:12, 6:30, 6:12] = True
+    blob_l[6:12, 24:30, 6:24] = True
+    cubes = np.zeros_like(seg, bool)
+    for y, x in cubes_yx:
+        cubes[24:30, y:y + 6, x:x + 6] = True
+    for oid in np.unique(seg[seg > 0]):
+        vox = seg == oid
+        assert not ((vox & blob_l).any() and (vox & cubes).any()), oid
+
+
+def test_apply_finalize_rows_clears_spill():
+    """Unit contract: ANY finalization log row for a lane clears its
+    host-held spill (the kernel finalized the lane's object, so the
+    spilled queue entries belong to a dead object)."""
+    from ffn_tpu.inference import hop_engine as hop_engine_lib
+
+    class FakeLane:
+        spill = [(1.0, (3, 3, 3))]
+
+    lane = FakeLane()
+    row = np.array([0, 0, 5, 5, 5, 10, 0, hop_engine_lib.DONE_CAP,
+                    hop_engine_lib.FIN_WEAK, 0], np.int64)
+    hop_canvas_lib.apply_finalize_rows([row], [lane], lambda k: None)
+    assert lane.spill == []

@@ -168,3 +168,39 @@ def test_fused_worker_with_stitching(tmp_path):
     cube_r = out[28, 28, 64]
     assert cube_l != 0 and cube_r != 0
     assert len({int(bar_left), int(cube_l), int(cube_r)}) == 3
+
+
+def test_fused_driver_with_init_segmentation(tmp_path):
+    """The fused driver accepts init_segmentation requests (regression:
+    SlotCanvas._refresh_blocked used to dereference driver.slots[k]
+    before the slot was published, crashing on the first load). The
+    preloaded object must survive and block re-segmentation."""
+    request, outer = make_setup(tmp_path)
+    request.concurrent_requests = 8
+    # Prior segmentation claiming the left cube.
+    prior = np.zeros((1, 36, 36, 72), np.uint64)
+    prior[0, 4:12, 4:12, 4:12] = 9
+    with h5py.File(str(tmp_path / "prior.h5"), "w") as f:
+        f.create_dataset("seg", data=prior)
+    request.init_segmentation.hdf5 = f"{tmp_path}/prior.h5:seg"
+
+    calc = bounding_box.OrderlyOverlappingCalculator(
+        outer, [40, 36, 36], [8, 0, 0])
+    tasks = [
+        (tuple(calc.index_to_sub_box(i).start[::-1]),
+         tuple(calc.index_to_sub_box(i).size[::-1]))
+        for i in range(calc.num_sub_boxes())]
+
+    runner = runner_lib.Runner()
+    runner.start(request)
+    driver = multi_canvas.MultiSubvolumeHopDriver(
+        runner, tasks, lanes=8, slots=2, hops=4)
+    assert driver.run() == 2
+
+    seg, _ = storage.load_segmentation(
+        request.segmentation_output_dir, tasks[0][0], split_cc=False)
+    # The preloaded cube keeps its (global) id; the bar still gets
+    # segmented as a new object.
+    assert seg[8, 8, 8] != 0
+    assert seg[18, 18, 12] != 0
+    assert seg[8, 8, 8] != seg[18, 18, 12]

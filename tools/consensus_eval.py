@@ -85,8 +85,9 @@ def main():
         runner.start(request)
         t0 = time.time()
         runner.run(corner, (full,) * 3, keep_probability_maps=False)
-        print(f"{tag}: {time.time() - t0:.0f} s, "
-              f"{int(runner.counters['fov-moves'].value)} FOVs",
+        fovs = int(runner.counters["fov-moves"].value) or int(
+            runner.counters["predict-calls"].value)  # serial path
+        print(f"{tag}: {time.time() - t0:.0f} s, {fovs} FOVs",
               flush=True)
         return out_dir
 

@@ -37,7 +37,10 @@ def build_request(vol_path, out_dir, ckpt, lanes, dtype):
     from ffn_tpu.proto import inference_pb2
 
     model_args = {"depth": int(os.environ.get("Q_DEPTH", "12")),
-                  "fov_size": [33, 33, 33], "deltas": [8, 8, 8]}
+                  "fov_size": [int(os.environ.get("Q_FOV", "33"))] * 3,
+                  "deltas": [int(os.environ.get("Q_DELTAS", "8"))] * 3}
+    if "Q_FEATURES" in os.environ:
+        model_args["features"] = int(os.environ["Q_FEATURES"])
     if dtype == "bf16":
         model_args["dtype"] = "bfloat16"
     # Inference thresholds are per-dataset tuning knobs (ref

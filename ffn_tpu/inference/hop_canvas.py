@@ -334,12 +334,14 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
                 np.zeros(len(entries), np.int32), hold)
 
             with timer_counter(self.counters, "predict"):
-                self._state, self._fstate, aux = engine.run_hops(
+                self._state, self._fstate, packed = engine.run_hops(
                     self._image_dev, self._blocked_dev, self._state,
                     self.hops, self.max_iters_per_segment,
-                    fstate=self._fstate, fin_opts=fin_opts)
-            rows, fifo_head, fifo_claimed = engine.drain_log(
-                self._fstate)
+                    fstate=self._fstate, fin_opts=fin_opts, sync=False)
+            # ONE D2H materialization per round: the finalization log
+            # rides inside the packed aux array.
+            aux, rows, fifo_head, fifo_claimed = engine.unpack_round(
+                packed, B, 1)
             if int(fifo_claimed[0]):
                 # FIFO seeds the kernel skipped as claimed-at-pop: the
                 # host path counts the same event in _valid_seed_pos.

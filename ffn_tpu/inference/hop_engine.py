@@ -186,6 +186,11 @@ class HopEngine(FloodFillEngine):
         round)."""
         S = int(fifo_capacity) or max(2 * lanes, 256)
         L = S + lanes + 4
+        if K > 17:
+            # The packed-round header row carries [log_n, fifo_head,
+            # claimed[0..K)] in the aux array's 19 columns.
+            raise ValueError(f"device-finalize supports <= 17 slots "
+                             f"(got {K})")
         z = lambda *s: jnp.zeros(s, jnp.int32)
         return FinalizeState(
             seg=jnp.zeros((K,) + tuple(shape_zyx), jnp.int32),
@@ -443,7 +448,9 @@ class HopEngine(FloodFillEngine):
                 jnp.asarray(fin_opts, jnp.float32))
             if not sync:
                 return state, fstate, packed
-            return state, fstate, self.unpack_aux(packed)
+            B = state.status.shape[0]
+            return state, fstate, self.unpack_aux(
+                np.asarray(packed)[:B])
         state, packed = self._run_hops_cache[key](
             image, blocked, state, jnp.asarray(self._opts_host),
             jnp.asarray(shapes, jnp.int32))
@@ -481,6 +488,23 @@ class HopEngine(FloodFillEngine):
             # the host can no longer derive it from its own bookkeeping.
             aux["start"] = packed[:, 16:19].astype(np.int64)
         return aux
+
+    @staticmethod
+    def unpack_round(packed, lanes: int, slots: int):
+        """Materializes a device-finalize round's SINGLE packed output
+        into (aux, log rows, fifo_head, claimed). Layout (all int32):
+        rows [0, lanes) per-lane aux, row `lanes` the header
+        [log_n, fifo_head, claimed[0..slots)], then the (padded)
+        finalization log. One D2H transfer replaces the five separate
+        materializations of unpack_aux + drain_log — on the tunneled
+        runtime each materialization is a network round trip."""
+        packed = np.asarray(packed)
+        aux = HopEngine.unpack_aux(packed[:lanes])
+        header = packed[lanes]
+        log_n, fifo_head = int(header[0]), int(header[1])
+        claimed = header[2:2 + slots].astype(np.int64)
+        rows = packed[lanes + 1:lanes + 1 + log_n, :10].astype(np.int64)
+        return aux, rows, fifo_head, claimed
 
     def _run_hops_impl(self, image, blocked, state: LaneState, opts,
                        shapes, fstate=None, fin_opts=None, *, hops,
@@ -895,6 +919,22 @@ class HopEngine(FloodFillEngine):
             state.start,
         ], axis=1)
         if device_finalize:
+            # Fold the finalize outputs (log counters + rows) into the
+            # SAME packed array: on a tunneled runtime every host
+            # materialization is a network round trip, so one D2H per
+            # round beats aux + log + log_n + fifo_head + claimed as
+            # five transfers (unpack with unpack_round).
+            C = packed.shape[1]
+            K = fstate.claimed.shape[0]
+            header = jnp.zeros((C,), jnp.int32)
+            header = header.at[0].set(fstate.log_n)
+            header = header.at[1].set(fstate.fifo_head)
+            header = jax.lax.dynamic_update_slice(header,
+                                                  fstate.claimed, (2,))
+            logp = jnp.pad(fstate.log,
+                           ((0, 0), (0, C - fstate.log.shape[1])))
+            packed = jnp.concatenate([packed, header[None], logp],
+                                     axis=0)
             return state, fstate, packed
         return state, packed
 

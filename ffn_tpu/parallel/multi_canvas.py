@@ -740,21 +740,21 @@ class MultiSubvolumeHopDriver:
                     hops, self.max_iters_per_segment,
                     shapes=self.shapes, sync=False)
             t1 = time.time()
-            # Enqueue the round-result D2H copies BEFORE the screen
+            # Enqueue the round-result D2H copy BEFORE the screen
             # programs below: transfers and programs share one device
-            # queue on the tunneled runtime, so issuing them here lets
-            # unpack_aux/drain_log read buffers that were copied out the
-            # moment the round finished instead of waiting behind the
-            # screen convs.
+            # queue on the tunneled runtime, so issuing it here lets
+            # unpack_round read a buffer that was copied out the moment
+            # the round finished instead of waiting behind the screen
+            # convs. In device-finalize mode the finalization log rides
+            # inside the same packed array — ONE transfer per round.
             packed_dev.copy_to_host_async()
-            if self.device_finalize:
-                self._fstate.log.copy_to_host_async()
-                self._fstate.log_n.copy_to_host_async()
-                self._fstate.fifo_head.copy_to_host_async()
-                self._fstate.claimed.copy_to_host_async()
             self._dispatch_screens(active, relax_quota=unfilled)
             t2 = time.time()
-            aux = engine.unpack_aux(packed_dev)
+            if self.device_finalize:
+                aux, fin_rows, fin_head, fin_claimed = \
+                    engine.unpack_round(packed_dev, B, self.K)
+            else:
+                aux = engine.unpack_aux(packed_dev)
             dt = time.time() - t0
             # t_hops = dispatch + device wait; the overlapped seed work
             # between them is charged to t_seed/t_draw.
@@ -779,9 +779,8 @@ class MultiSubvolumeHopDriver:
             # 4. Ingest, routing each lane to its owning slot.
             t0 = time.time()
             if self.device_finalize:
-                rows, fifo_head, fifo_claimed = engine.drain_log(
-                    self._fstate)
-                for k, c in enumerate(fifo_claimed):
+                rows, fifo_head = fin_rows, fin_head
+                for k, c in enumerate(fin_claimed):
                     if c and self.slots[k] is not None:
                         self.slots[k].counters[
                             "skip_invalid_pos"].IncrementBy(int(c))

@@ -461,6 +461,10 @@ class MultiSubvolumeHopDriver:
             init_act = self.slots[order[0]].options.init_activation
             strong_dev = self.engine.screen_seeds_async(
                 self._image_dev, positions, init_act, sv=sv)
+            # Start the verdicts' D2H as soon as the screen program
+            # finishes so _collect_screens reads a landed buffer instead
+            # of paying a tunnel round trip per batch.
+            strong_dev.copy_to_host_async()
             self._pending_screens.append((cands, strong_dev))
             self.stats["screen_calls"] = self.stats.get(
                 "screen_calls", 0) + 1

@@ -41,7 +41,18 @@ PAD = 8   # reflect padding = FOV margin, so border cells are reachable
 FLOOR = 0.9
 
 
-def test_quality_floor_tiny_checkpoint(tmp_path):
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("device_finalize", ["0", "1"],
+                         ids=["host-finalize", "device-finalize"])
+def test_quality_floor_tiny_checkpoint(tmp_path, monkeypatch,
+                                       device_finalize):
+    # Both production finalization modes guard the floor: host
+    # finalization (BatchCanvas verdict path) and in-kernel
+    # finalization (FinalizeState claims/reseed — what the fused
+    # multi-subvolume driver runs).
+    monkeypatch.setenv("FFN_TPU_DEVFIN", device_finalize)
     image, gt = synthetic_em.make_volume(size=SIZE, seed=3, num_cells=6)
     raw = np.pad(image, PAD, mode="reflect")
     vol = str(tmp_path / "v.h5")

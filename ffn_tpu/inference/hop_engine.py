@@ -892,8 +892,25 @@ class HopEngine(FloodFillEngine):
         # double-buffers them — at 128 lanes x 250^3 x f32 that is the
         # difference between fitting in HBM and OOM.
         def cond(carry_i):
-            _, i = carry_i
-            return i < hops
+            carry, i = carry_i
+            st = carry[0].status
+            # Early round exit when no lane can progress: lanes not
+            # RUNNING need HOST work (stall drain, held spill) unless
+            # the entry finalize_pass can still act on them — finalize a
+            # finished lane or reseed an idle one from the FIFO (same
+            # progress condition as finalize_pass itself). Burning the
+            # remaining hops would run the conv batch on garbage for
+            # zero executed moves (the supply-starved tail of a
+            # subvolume paid full rounds for it).
+            alive = jnp.any(st == RUNNING)
+            if device_finalize:
+                fst = carry[1]
+                nmask = (((st == DONE_EMPTY) & ~fst.hold)
+                         | (st == DONE_WEAK) | (st == DONE_CAP))
+                rmask = (st == IDLE) | (st == DONE_FINALIZED)
+                alive = alive | jnp.any(nmask) | (
+                    jnp.any(rmask) & (fst.fifo_head < fst.fifo_n))
+            return (i < hops) & alive
 
         def body(carry_i):
             carry, i = carry_i

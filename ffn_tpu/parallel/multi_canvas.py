@@ -407,7 +407,13 @@ class MultiSubvolumeHopDriver:
         # under-estimates).
         fifo_est = max(0, len(self._fifo_entries)
                        - self._fifo_consumed_est)
-        need = self.lanes - banked - in_flight - fifo_est
+        # Watermark of banked-or-in-flight seeds. >1x lanes banks spare
+        # supply so mid-round kernel reseeds never starve on a drained
+        # FIFO (suspected cause of lanes executing ~10 of 16 hops);
+        # tunable for measurement.
+        watermark = int(self.lanes * float(os.environ.get(
+            "FFN_TPU_SCREEN_WATERMARK", "1.0")))
+        need = watermark - banked - in_flight - fifo_est
         if need <= 0 or (not force and need < min(32, self.lanes)):
             return 0
 

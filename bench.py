@@ -29,13 +29,52 @@ candidate-select path (one move per round trip).
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 
+def _init_backend_with_retry():
+    """Return a live jax module, retrying backend init with backoff.
+
+    The tunneled TPU backend has transient outages (round 3 lost its
+    perf capture to one).  Poll jax.devices() with exponential backoff
+    for up to BENCH_INIT_TIMEOUT seconds (default 900); on final
+    failure emit a structured JSON error line instead of a traceback so
+    the driver records a parseable artifact.
+    """
+    deadline = time.time() + float(
+        os.environ.get("BENCH_INIT_TIMEOUT", "900"))
+    delay = 5.0
+    last_err = None
+    while True:
+        try:
+            import jax
+            devs = jax.devices()
+            if devs:
+                return jax
+            last_err = "jax.devices() returned no devices"
+        except Exception as e:  # backend init raises RuntimeError
+            last_err = f"{type(e).__name__}: {e}"
+        if time.time() >= deadline:
+            print(json.dumps({
+                "metric": "fov_steps_per_sec_per_chip",
+                "error": "tpu_unavailable",
+                "detail": str(last_err)[:500],
+                "value": None,
+                "unit": "FOV/s",
+                "vs_baseline": None,
+            }))
+            sys.exit(0)
+        print(f"bench: backend unavailable ({last_err}); retrying in "
+              f"{delay:.0f}s", file=sys.stderr, flush=True)
+        time.sleep(delay)
+        delay = min(delay * 1.7, 60.0)
+
+
 def main():
-    import jax
+    jax = _init_backend_with_retry()
     import jax.numpy as jnp
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -107,12 +146,31 @@ def main():
 
         t0 = time.time()
         executed = 0
+        round_times = []
+        round_execs = []
         for _ in range(steps):
+            rt0 = time.time()
             state, aux = eng.run_hops(image_dev, blocked, state, hops)
-            executed += int(aux["executed"].sum())
+            nexec = int(aux["executed"].sum())
+            round_times.append(time.time() - rt0)
+            round_execs.append(nexec)
+            executed += nexec
             state = reseed_dead(state, aux)
         elapsed = time.time() - t0
         fov_per_sec = executed / elapsed
+        # Noise-stable companion metric: the tunnel is multi-tenant, so
+        # a single slow round can halve the wall-clock FOV/s.  The
+        # median round time is robust to those spikes and comparable
+        # across rounds.
+        med = float(np.median(round_times))
+        med_fov = float(np.median(round_execs)) / med if med else 0.0
+        extra = {
+            "engine_s_per_round_median": round(med, 4),
+            "fov_per_s_median_round": round(med_fov, 2),
+            "rounds": steps,
+            "hops_per_round": hops,
+            "lanes": batch,
+        }
     else:
         eng = engine_lib.FloodFillEngine(
             model, params, pad_value=-2.944, move_threshold=2.197,
@@ -143,13 +201,16 @@ def main():
         jax.block_until_ready(seeds)
         elapsed = time.time() - t0
         fov_per_sec = steps * batch / elapsed
+        extra = {}
     baseline = 240.0
-    print(json.dumps({
+    out = {
         "metric": "fov_steps_per_sec_per_chip",
         "value": round(fov_per_sec, 2),
         "unit": "FOV/s",
         "vs_baseline": round(fov_per_sec / baseline, 2),
-    }))
+    }
+    out.update(extra)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

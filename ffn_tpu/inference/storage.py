@@ -16,6 +16,7 @@ from __future__ import annotations
 import ast
 import json
 import os
+import pickle
 import re
 import tempfile
 from collections import namedtuple
@@ -32,6 +33,42 @@ from ffn_tpu.utils import bounding_box
 
 OriginInfo = namedtuple("OriginInfo", ["start_zyx", "iters", "walltime_sec"])
 Volume = Any
+
+
+class _CompatUnpickler(pickle.Unpickler):
+    """Unpickler that maps foreign OriginInfo classes onto ours.
+
+    Segmentations written by the reference implementation pickle
+    OriginInfo under module paths that do not exist here (the internal
+    google3 storage module, or the OSS ffn.inference.storage).  The
+    field layout is identical (ref storage.py:35), so resolve any class
+    named OriginInfo to this module's namedtuple.
+    """
+
+    def find_class(self, module, name):
+        if name == "OriginInfo":
+            return OriginInfo
+        return super().find_class(module, name)
+
+
+def _read_origins_entry(npz_path):
+    """Reads the 'origins' entry of a segmentation npz with class compat.
+
+    np.load's internal pickle.load cannot be given a custom unpickler,
+    so re-open the zip member directly.  Returns the {id: OriginInfo}
+    dict, or {} if the file has no origins entry.
+    """
+    import zipfile
+    from numpy.lib import format as npformat
+    with zipfile.ZipFile(npz_path) as z:
+        if "origins.npy" not in z.namelist():
+            return {}
+        with z.open("origins.npy") as f:
+            version = npformat.read_magic(f)
+            npformat._read_array_header(f, version)
+            # latin1: the reference artifact was pickled by Python 2.
+            arr = _CompatUnpickler(f, encoding="latin1").load()
+    return arr.item() if isinstance(arr, np.ndarray) else arr
 
 
 class SyncAdapter:
@@ -246,7 +283,10 @@ def load_origins(segmentation_dir, corner):
             f"Segmentation not found: {segmentation_dir}, {corner}")
     with open(target, "rb") as f:
         data = np.load(f, allow_pickle=True)
-        return data["origins"].item()
+        try:
+            return data["origins"].item()
+        except (ModuleNotFoundError, AttributeError, KeyError):
+            return _read_origins_entry(target)
 
 
 def clip_subvolume_to_bounds(corner, size, volume):
@@ -406,7 +446,12 @@ def load_segmentation(segmentation_dir, corner, allow_cpoint=False,
             raise ValueError(
                 f"FFN NPZ file {target} does not contain a segmentation.")
         seg = data["segmentation"]
-        origins = data["origins"].item()
+        try:
+            origins = data["origins"].item()
+        except (ModuleNotFoundError, AttributeError, KeyError):
+            # Reference-written files pickle OriginInfo under module
+            # paths that do not exist here; re-read with class compat.
+            origins = _read_origins_entry(target)
         output = seg.astype(np.uint64)
         logging.info("loading segmentation from: %s", target)
 

@@ -258,15 +258,21 @@ class HopEngine(FloodFillEngine):
         return self._reset_seg_fn(fstate, jnp.int32(slot),
                                   jnp.int32(next_sid))
 
+    def slice_slot_seg(self, fstate: FinalizeState, slot: int,
+                       size_zyx) -> jax.Array:
+        """Dispatches the cropped slot-segmentation slice WITHOUT
+        materializing; callers start its D2H and collect off-thread so
+        the save overlaps the next hop rounds."""
+        return jax.lax.dynamic_slice(
+            fstate.seg, (slot, 0, 0, 0),
+            (1,) + tuple(int(v) for v in size_zyx))
+
     def download_slot_seg(self, fstate: FinalizeState, slot: int,
                           size_zyx) -> np.ndarray:
         """Downloads one slot's segmentation, cropped to its true
         size (ONE transfer per subvolume — replaces the host path's
         per-object region downloads)."""
-        sub = jax.lax.dynamic_slice(
-            fstate.seg, (slot, 0, 0, 0),
-            (1,) + tuple(int(v) for v in size_zyx))
-        return np.asarray(sub)[0]
+        return np.asarray(self.slice_slot_seg(fstate, slot, size_zyx))[0]
 
     def put_blocked(self, blocked: np.ndarray) -> jax.Array:
         """Uploads the claimed/restricted uint8 volume (1 = excluded)."""

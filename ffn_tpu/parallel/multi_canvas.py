@@ -130,7 +130,16 @@ class MultiSubvolumeHopDriver:
     def __init__(self, runner, tasks: Sequence, lanes: int = 64,
                  slots: int = 4, hops: int = 16,
                  keep_probability_maps: bool = False,
-                 device_finalize: bool = True):
+                 device_finalize: bool = True,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh; lane state is sharded over
+        its first axis and image/blocked stacks + finalize state are
+        replicated — the multi-chip layout (each device runs its lane
+        shard's convs; the sequential finalize loop gathers across
+        shards). `lanes` must divide evenly by the mesh size. Output is
+        identical to the single-device run (pure batched compute over
+        the lane axis; asserted by tests/test_multi_canvas.py)."""
+        self.mesh = mesh
         self.runner = runner
         self.engine = runner.engine
         if not isinstance(self.engine, hop_engine_lib.HopEngine):
@@ -179,12 +188,55 @@ class MultiSubvolumeHopDriver:
             self._fstate = self.engine.init_finalize_state(
                 self.K, self.lanes, self.slot_shape,
                 fifo_capacity=max(2 * self.lanes, 256))
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+            if self.lanes % mesh.devices.size:
+                raise ValueError(
+                    f"lanes={self.lanes} must divide over the "
+                    f"{mesh.devices.size}-device mesh")
+            lane_sh = NamedSharding(mesh, PartitionSpec(
+                mesh.axis_names[0]))
+            repl = NamedSharding(mesh, PartitionSpec())
+            self._state = jax.tree.map(
+                lambda x: jax.device_put(x, lane_sh), self._state)
+            self._image_dev = jax.device_put(self._image_dev, repl)
+            self._blocked_dev = jax.device_put(self._blocked_dev, repl)
+            if self._fstate is not None:
+                self._fstate = jax.tree.map(
+                    lambda x: jax.device_put(x, repl), self._fstate)
+        # Seed screening (the separate dud-culling conv program) made
+        # sense when a dud cost a whole lane-round; with in-kernel
+        # finalize + mid-round FIFO reseed a dud costs 1-2 hops before
+        # the kernel kills it as DONE_WEAK and reseeds the lane, while
+        # each screen call serializes a padded conv batch between hop
+        # rounds AND blocks the host on its verdicts (measured 250^3
+        # fused e2e: 149.8 s of t_screen for 598.7 s wall). Default:
+        # screens off in device-finalize mode, on in host mode (where a
+        # dud still wastes a lane for a full round).
+        env_screen = os.environ.get("FFN_TPU_SCREEN")
+        if env_screen is not None:
+            self.screen_enabled = env_screen != "0"
+        else:
+            self.screen_enabled = not self.device_finalize
         self.slots: list = [None] * self.K
         self._slot_meta: list = [None] * self.K   # (corner, size, alignment)
         self._next_serve = 0   # round-robin cursor for seed allocation
         self._pending_screens = []   # in-flight dud-screen batches
         self._policy_pool = ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="seed-policy")
+        # Slot IO runs off the round loop: saves collect their (already
+        # dispatched) device slice and write npz on the io pool; loads
+        # prefetch the next subvolume's h5 read + normalization on the
+        # SINGLE-worker load pool (h5py handles are not safe for
+        # concurrent reads, so every load routes through it).
+        self._io_pool = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="slot-save")
+        self._load_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="slot-load")
+        self._save_futs = []
+        self._prefetch = {}   # corner -> Future(load_subvolume_inputs)
+        self._prefetch_next()   # overlap the first loads with setup
         self.completed = 0
         # Wall-time breakdown + occupancy accounting (driver-level;
         # per-subvolume counters live on the slots).
@@ -201,6 +253,24 @@ class MultiSubvolumeHopDriver:
             self._blocked_dev, k, slot._build_blocked(),
             fill=hop_engine_lib.BLOCKED_CLAIMED)
 
+    def _prefetch_next(self, depth: int = 2):
+        """Submits h5-read+normalize for the next pending task(s) to the
+        load pool so reloads find their inputs already materialized."""
+        request = self.runner.request
+        pending = sum(1 for f in self._prefetch.values() if not f.done())
+        for corner, size in self.tasks:
+            if pending >= depth:
+                break
+            if corner in self._prefetch:
+                continue
+            seg_path = storage.segmentation_path(
+                request.segmentation_output_dir, corner)
+            if os.path.exists(seg_path):
+                continue
+            self._prefetch[corner] = self._load_pool.submit(
+                self.runner.load_subvolume_inputs, corner, size)
+            pending += 1
+
     def _load_next_into(self, k: int) -> bool:
         """Loads the next pending subvolume into slot k; False if none
         (or all remaining were masked/already done)."""
@@ -211,7 +281,14 @@ class MultiSubvolumeHopDriver:
                 request.segmentation_output_dir, corner)
             if os.path.exists(seg_path):
                 continue
-            inputs = self.runner.load_subvolume_inputs(corner, size)
+            fut = self._prefetch.pop(corner, None)
+            if fut is None:
+                # Route through the load pool anyway: it serializes all
+                # h5 access on one thread.
+                fut = self._load_pool.submit(
+                    self.runner.load_subvolume_inputs, corner, size)
+            inputs = fut.result()
+            self._prefetch_next()
             if inputs is None:   # fully masked
                 continue
             slot = SlotCanvas(
@@ -272,27 +349,54 @@ class MultiSubvolumeHopDriver:
             if self.lane_slot[li] == k)
 
     def _save_slot(self, k: int):
+        """Detaches slot k and saves it OFF the round loop: the device
+        slice is dispatched (and its D2H started) here, but the
+        materialize + merge + npz write run on the io pool so the next
+        subvolume's rounds aren't blocked behind host IO. Correctness:
+        fstate arrays are immutable, so the slice captures this
+        subvolume's final segmentation even though the slot is reset for
+        its successor immediately after; the detached SlotCanvas is
+        owned solely by the worker from here on."""
         slot = self.slots[k]
         corner, _, alignment = self._slot_meta[k]
+        seg_dev = None
         if self.device_finalize:
-            # ONE device download per subvolume replaces the host path's
+            # ONE device transfer per subvolume replaces the host path's
             # per-object region downloads. Host-side -1 markers (weak /
             # too-small seeds) and init-segmentation ids are preserved
             # where the kernel claimed nothing.
-            seg_dev = self.engine.download_slot_seg(
-                self._fstate, k, slot.shape)
-            claimed = seg_dev > 0
-            slot.segmentation[claimed] = seg_dev[claimed]
+            seg_dev = self.engine.slice_slot_seg(self._fstate, k,
+                                                 slot.shape)
+            seg_dev.copy_to_host_async()
         out_dir = self.runner.request.segmentation_output_dir
         seg_path = storage.segmentation_path(out_dir, corner)
         prob_path = storage.object_prob_path(out_dir, corner)
-        self.runner.save_segmentation(slot, alignment, seg_path,
-                                      prob_path)
-        logging.info("slot %d: subvolume %r saved (%d objects)", k,
-                     corner, len(slot.origins))
+
+        def finish():
+            if seg_dev is not None:
+                seg = np.asarray(seg_dev)[0]
+                claimed = seg > 0
+                slot.segmentation[claimed] = seg[claimed]
+            self.runner.save_segmentation(slot, alignment, seg_path,
+                                          prob_path)
+            logging.info("slot %d: subvolume %r saved (%d objects)", k,
+                         corner, len(slot.origins))
+
+        self._save_futs.append(self._io_pool.submit(finish))
         self.slots[k] = None
         self._slot_meta[k] = None
         self.completed += 1
+
+    def _harvest_saves(self, wait: bool = False):
+        """Propagates io-pool exceptions; with wait=True joins them all
+        (run() exit — outputs must be durable before returning)."""
+        pending = []
+        for fut in self._save_futs:
+            if wait or fut.done():
+                fut.result()   # raises the worker's exception, if any
+            else:
+                pending.append(fut)
+        self._save_futs = pending
 
     # -- seed scheduling ------------------------------------------------------
 
@@ -411,10 +515,18 @@ class MultiSubvolumeHopDriver:
         # supply so mid-round kernel reseeds never starve on a drained
         # FIFO (suspected cause of lanes executing ~10 of 16 hops);
         # tunable for measurement.
+        # Unscreened pools hold ~2x duds, so bank deeper by default.
+        default_wm = "1.0" if self.screen_enabled else "1.5"
         watermark = int(self.lanes * float(os.environ.get(
-            "FFN_TPU_SCREEN_WATERMARK", "1.0")))
+            "FFN_TPU_SCREEN_WATERMARK", default_wm)))
         need = watermark - banked - in_flight - fifo_est
-        if need <= 0 or (not force and need < min(32, self.lanes)):
+        if need <= 0:
+            return 0
+        # Small top-ups: with screens they waste a padded conv program,
+        # so defer until demand accumulates; without screens a draw is
+        # pure host work and any supply helps.
+        if (self.screen_enabled and not force
+                and need < min(32, self.lanes)):
             return 0
 
         def join_policy(slot):
@@ -462,6 +574,16 @@ class MultiSubvolumeHopDriver:
                         relax_left -= len(cands) - before
             if not cands:
                 break
+            if not self.screen_enabled:
+                # Bank unscreened: the kernel's DONE_WEAK finalize is
+                # the same verdict the screen would have computed, at
+                # 1-2 in-round hops per dud instead of a dedicated
+                # program dispatch.
+                for k, slot, pos in cands:
+                    slot.screened_ready.append(pos)
+                dispatched += len(cands)
+                need -= len(cands)
+                continue
             positions = np.array([p for _, _, p in cands], np.int32)
             sv = np.array([k for k, _, _ in cands], np.int32)
             init_act = self.slots[order[0]].options.init_activation
@@ -500,25 +622,33 @@ class MultiSubvolumeHopDriver:
         S = self._fstate.fifo_pos.shape[0]
         entries = []
         order = self._slot_order(active)
-        pools = {k: list(self.slots[k].screened_ready) for k in order}
+        # One vectorized validation per slot pool (the per-candidate
+        # python check was ~1 ms each — a measured host hotspot at
+        # production FIFO rates). Validating the surplus early is
+        # harmless: claims only grow, so an invalid candidate stays
+        # invalid, and survivors are revalidated by the kernel at pop.
+        pools = {}
         for k in order:
+            pool = self.slots[k].screened_ready
             self.slots[k].screened_ready = []
+            if not pool:
+                pools[k] = []
+                continue
+            ok = self.slots[k]._valid_seed_batch(np.asarray(pool))
+            pools[k] = [pos for pos, o in zip(pool, ok) if o]
+        cursors = {k: 0 for k in order}
         progressed = True
         while len(entries) < S and progressed:
             progressed = False
             for k in order:
-                pool = pools[k]
-                while pool:
-                    pos = pool.pop(0)
-                    if not self.slots[k]._valid_seed_pos(tuple(pos)):
-                        continue
-                    entries.append((k, pos))
+                if cursors[k] < len(pools[k]):
+                    entries.append((k, pools[k][cursors[k]]))
+                    cursors[k] += 1
                     progressed = True
-                    break
                 if len(entries) >= S:
                     break
         for k in order:   # FIFO full: keep the surplus banked
-            self.slots[k].screened_ready.extend(pools[k])
+            self.slots[k].screened_ready.extend(pools[k][cursors[k]:])
         if entries:
             # Advance the fairness cursor (host mode advances it in
             # _assign_seeds; without this the device-finalize draw and
@@ -644,6 +774,7 @@ class MultiSubvolumeHopDriver:
         while True:
             # 1. Save finished subvolumes, reload their slots.
             t0 = time.time()
+            self._harvest_saves()
             for k in range(self.K):
                 if self._slot_finished(k):
                     self._save_slot(k)
@@ -815,6 +946,7 @@ class MultiSubvolumeHopDriver:
                     len(assignments) + unfilled, dt - (t2 - t1),
                     t2 - t1, t_ing)
 
+        self._harvest_saves(wait=True)
         return self.completed
 
     def _ingest(self, aux):

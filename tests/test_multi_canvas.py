@@ -18,9 +18,14 @@ def _fg(seg):
     return np.maximum(seg, 0) > 0
 
 
-def test_fused_driver_matches_independent_runs(tmp_path):
+def test_fused_driver_matches_independent_runs(tmp_path, monkeypatch):
     """Each subvolume's fused output must cover the same voxels with the
     same number of objects as an independent single-subvolume hop run."""
+    # The standalone HopBatchCanvas always screens seeds; pin the fused
+    # driver's screen policy to match (device-finalize defaults to
+    # unscreened FIFO seeds — covered by the parametrized finalize-
+    # parity test below).
+    monkeypatch.setenv("FFN_TPU_SCREEN", "1")
     request, outer = make_setup(tmp_path)
     request.concurrent_requests = 8
     calc = bounding_box.OrderlyOverlappingCalculator(
@@ -65,10 +70,22 @@ def test_fused_driver_matches_independent_runs(tmp_path):
         assert len(org_fused) == len(org_ref)
 
 
-def test_device_finalize_matches_host_finalize(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("screen", ["0", "1"], ids=["unscreened",
+                                                    "screened"])
+def test_device_finalize_matches_host_finalize(tmp_path, monkeypatch,
+                                               screen):
     """In-kernel finalization (claims + reseed in the hop program) must
     produce the same segmentation as the host-finalize path: identical
-    voxel labels up to id naming, identical object count and origins."""
+    voxel labels up to id naming, identical object count and origins.
+
+    Parametrized over the seed-screen policy so both paths run the SAME
+    policy: screened (the host-mode default) and unscreened (the
+    device-finalize default — duds are killed by the kernel's DONE_WEAK
+    finalize instead of a separate screen program)."""
+    monkeypatch.setenv("FFN_TPU_SCREEN", screen)
     request, outer = make_setup(tmp_path)
     request.concurrent_requests = 8
     calc = bounding_box.OrderlyOverlappingCalculator(
@@ -106,7 +123,14 @@ def test_device_finalize_matches_host_finalize(tmp_path):
         assert len(org_dev) == len(org_host)
         a, b = _fg(seg_dev), _fg(seg_host)
         mismatch = (a != b).sum() / max(a.sum(), 1)
-        assert mismatch < 0.02, mismatch
+        # Unscreened FIFOs shift seed timing more (duds occupy lanes at
+        # different instants), so a different candidate seed can win an
+        # object's flood race; a shifted origin moves the moving-FOV
+        # reachability margin by up to deltas voxels per face (verified:
+        # the mismatch voxels here are margin shells of objects whose
+        # recorded origins differ). Tiny test objects amplify the
+        # fraction.
+        assert mismatch < (0.06 if screen == "0" else 0.02), mismatch
         # Every device object maps 1:1 onto a host object (majority
         # vote both ways).
         for seg_x, seg_y in ((seg_dev, seg_host), (seg_host, seg_dev)):
@@ -116,6 +140,55 @@ def test_device_finalize_matches_host_finalize(tmp_path):
                 assert votes.size, oid
                 top = np.bincount(votes).max()
                 assert top / votes.size > 0.98, (oid, top / votes.size)
+
+
+def test_fused_driver_sharded_mesh_parity(tmp_path):
+    """The PRODUCTION path on a mesh: MultiSubvolumeHopDriver with
+    device-finalize, lane state sharded over 8 (virtual) devices, image
+    /blocked stacks + finalize state replicated, must produce the
+    segmentation of the single-device fused run — object-for-object
+    with identical voxels and origins (pure batched compute over the
+    lane axis; the finalize loop gathers across shards)."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices; see conftest.py")
+
+    request, outer = make_setup(tmp_path)
+    request.concurrent_requests = 8
+    calc = bounding_box.OrderlyOverlappingCalculator(
+        outer, [40, 36, 36], [8, 0, 0])
+    tasks = [
+        (tuple(calc.index_to_sub_box(i).start[::-1]),
+         tuple(calc.index_to_sub_box(i).size[::-1]))
+        for i in range(calc.num_sub_boxes())]
+
+    segs = {}
+    for label, mesh in (
+            ("single", None),
+            ("mesh", Mesh(np.array(jax.devices()[:8]), ("data",)))):
+        req = inference_pb2.InferenceRequest()
+        req.CopyFrom(request)
+        req.segmentation_output_dir = str(tmp_path / f"seg_{label}")
+        runner = runner_lib.Runner()
+        runner.start(req)
+        driver = multi_canvas.MultiSubvolumeHopDriver(
+            runner, tasks, lanes=8, slots=2, hops=4,
+            device_finalize=True, mesh=mesh)
+        assert driver.run() == len(tasks)
+        segs[label] = [
+            storage.load_segmentation(req.segmentation_output_dir,
+                                      corner, split_cc=False)
+            for corner, _ in tasks]
+
+    for (seg_1, org_1), (seg_8, org_8) in zip(segs["single"],
+                                              segs["mesh"]):
+        np.testing.assert_array_equal(seg_1, seg_8)
+        assert set(org_1) == set(org_8)
+        for oid in org_1:
+            assert tuple(org_1[oid].start_zyx) == \
+                tuple(org_8[oid].start_zyx)
 
 
 def test_fused_driver_slot_reload(tmp_path):

@@ -137,6 +137,19 @@ def main():
                      if hh == h])), 1)
                 for h in sorted({hh for hh, _ in
                                  r.get("round_times", [])})},
+            # Tail diagnosis: the tunnel is multi-tenant, so the mean
+            # round hides whether slowness is a noise tail or real.
+            "round_ms_pctl": {
+                p: round(1000 * float(np.percentile(
+                    [d for _, d in r["round_times"]], q)), 1)
+                for p, q in (("p10", 10), ("p50", 50), ("p90", 90),
+                             ("p99", 99), ("max", 100))
+            } if r.get("round_times") else {},
+            "round_s_sum_over_p90": round(float(sum(
+                d for _, d in r.get("round_times", [])
+                if r.get("round_times") and d > np.percentile(
+                    [x for _, x in r["round_times"]], 90))), 1)
+            if r.get("round_times") else 0.0,
         }), flush=True)
 
     # Sub-counters propagate to the runner's root counters.

@@ -44,6 +44,122 @@ _IDLE = 0
 _RUNNING = 1
 
 
+class _SeedPool:
+    """Array-backed ordered pool of candidate seed positions.
+
+    Keeps the list-of-(z, y, x)-tuples API the checkpoint and canvas code
+    uses (append/extend/iter/len/in) while exposing a dense (N, 3) int64
+    view (`arr`) for the vectorized draw/validation paths — rebuilding an
+    ndarray from a python list of thousands of tuples every round was a
+    measured host hotspot at production seed-supply rates.
+    """
+
+    __slots__ = ("_buf", "_n")
+
+    def __init__(self, items=None):
+        if items is None or (hasattr(items, "__len__")
+                             and len(items) == 0):
+            self._buf = np.zeros((64, 3), np.int64)
+            self._n = 0
+        else:
+            arr = np.asarray(items, np.int64).reshape(-1, 3)
+            self._buf = np.ascontiguousarray(arr)
+            self._n = len(arr)
+
+    @property
+    def arr(self) -> np.ndarray:
+        """Dense (N, 3) int64 view of the pool, in insertion order."""
+        return self._buf[:self._n]
+
+    def _grow(self, extra: int):
+        need = self._n + extra
+        if need > len(self._buf):
+            cap = max(need, 2 * len(self._buf))
+            buf = np.zeros((cap, 3), np.int64)
+            buf[:self._n] = self._buf[:self._n]
+            self._buf = buf
+
+    def append(self, pos):
+        self._grow(1)
+        self._buf[self._n] = pos
+        self._n += 1
+
+    def extend(self, items):
+        items = np.asarray(list(items), np.int64).reshape(-1, 3)
+        self._grow(len(items))
+        self._buf[self._n:self._n + len(items)] = items
+        self._n += len(items)
+
+    def replace(self, arr):
+        """Replaces the contents with the rows of `arr` (no copy kept)."""
+        arr = np.asarray(arr, np.int64).reshape(-1, 3)
+        self._buf = np.ascontiguousarray(arr)
+        self._n = len(arr)
+
+    def __len__(self):
+        return self._n
+
+    def __bool__(self):
+        return self._n > 0
+
+    def __iter__(self):
+        for row in self._buf[:self._n]:
+            yield tuple(int(v) for v in row)
+
+    def __contains__(self, pos):
+        pos = np.asarray(pos, np.int64)
+        return bool(np.any(np.all(self._buf[:self._n] == pos, axis=1)))
+
+
+class _SpacedAccept:
+    """Order-exact greedy spacing filter for one draw phase.
+
+    A candidate conflicts when |cand - p| <= pred on every axis for any
+    already-accepted p (the same box metric two seeds assigned in one
+    round must clear — consecutive policy seeds cluster). Conflicts
+    against the accepts known at construction are ONE vectorized test;
+    accepts made during the phase are checked in python and folded back
+    into the vectorized base every 32, so per-candidate cost stays flat
+    however many candidates the phase scans.
+    """
+
+    __slots__ = ("cands", "pred", "base_conf", "new")
+
+    def __init__(self, cands, base, pred):
+        self.cands = np.asarray(cands, np.int64).reshape(-1, 3)
+        self.pred = tuple(int(v) for v in np.broadcast_to(pred, (3,)))
+        self.base_conf = self._conflicts(base)
+        self.new = []
+
+    def _conflicts(self, picked) -> np.ndarray:
+        picked = np.asarray(picked, np.int64).reshape(-1, 3)
+        if not len(picked) or not len(self.cands):
+            return np.zeros(len(self.cands), bool)
+        pred = np.asarray(self.pred, np.int64)
+        return np.any(np.all(
+            np.abs(self.cands[:, None, :] - picked[None, :, :]) <= pred,
+            axis=2), axis=1)
+
+    def conflicted(self, i: int) -> bool:
+        if self.base_conf[i]:
+            return True
+        if not self.new:
+            return False
+        cz, cy, cx = (int(v) for v in self.cands[i])
+        pz, py, px = self.pred
+        for z, y, x in self.new:
+            if abs(z - cz) <= pz and abs(y - cy) <= py \
+                    and abs(x - cx) <= px:
+                return True
+        return False
+
+    def accepted(self, pos):
+        self.new.append(tuple(int(v) for v in pos))
+        if len(self.new) >= 32:
+            self.base_conf |= self._conflicts(np.asarray(self.new))
+            self.new.clear()
+
+
 class _Lane:
     __slots__ = ("state", "start_pos", "queue", "done_cells", "min_pos",
                  "max_pos", "num_iters", "t_start", "pending", "spill")
@@ -117,7 +233,8 @@ class BatchCanvas:
 
         self.origins = {}
         self.overlaps = {}
-        self._deferred = []  # seeds postponed due to an active lane nearby
+        # Seeds postponed because an active lane was flooding nearby.
+        self._deferred = _SeedPool()
         self._max_id = 0
         self.global_to_local_ids = {}
         self.local_to_global_ids = {}
@@ -244,14 +361,17 @@ class BatchCanvas:
             ok &= ~restricted
 
         if ok.any():
-            mbd = self.options.min_boundary_dist
-            mbd = np.array([mbd.z, mbd.y, mbd.x])
-            # One gather over the (2*mbd+1)^3 neighborhood of every
-            # surviving candidate (all in bounds up to `margin` >= mbd
-            # clipping; clip indices to the volume).
-            offs = np.stack(np.meshgrid(
-                *[np.arange(-m, m + 1) for m in mbd],
-                indexing="ij"), axis=-1).reshape(-1, 3)
+            offs = getattr(self, "_mbd_offs", None)
+            if offs is None:
+                mbd = self.options.min_boundary_dist
+                mbd = np.array([mbd.z, mbd.y, mbd.x])
+                # One gather over the (2*mbd+1)^3 neighborhood of every
+                # surviving candidate (all in bounds up to `margin` >=
+                # mbd clipping; clip indices to the volume).
+                offs = np.stack(np.meshgrid(
+                    *[np.arange(-m, m + 1) for m in mbd],
+                    indexing="ij"), axis=-1).reshape(-1, 3)
+                self._mbd_offs = offs
             live = np.flatnonzero(ok)
             nb = positions[live][:, None, :] + offs[None, :, :]
             np.clip(nb, 0, np.asarray(self.shape) - 1, out=nb)
@@ -352,8 +472,7 @@ class BatchCanvas:
                 self.seg_prob[...] = data["seg_qprob"]
             self.origins = data["origins"].item()
             self.overlaps = data["overlaps"].item()
-            self._deferred = [tuple(int(v) for v in row)
-                              for row in data["deferred"]]
+            self._deferred = _SeedPool(data["deferred"])
             self._max_id = int(np.max(self.segmentation, initial=0))
             self._seed_policy_state = data["seed_policy_state"]
             self.counters.loads_np(data["counters"])
@@ -400,73 +519,83 @@ class BatchCanvas:
 
         relax_threshold: when n exceeds it, deferred seeds are
         speculatively flooded even near active lanes (see below); None
-        disables relaxation."""
+        disables relaxation.
+
+        Every phase validates its candidates in ONE vectorized pass and
+        resolves seed-vs-seed spacing through _SpacedAccept, preserving
+        the sequential accept order exactly (claims only grow, so
+        validating a candidate the scan below never reaches drops it no
+        later than its eventual sequential validation would). The
+        per-candidate python path cost ~1 ms each and dominated the
+        seed-supply rate at production lane counts — the supply cap that
+        left lanes idle mid-round."""
         available = []
         if n <= 0:
             return available, seeds_exhausted
 
-        def near_available(cand):
-            # Two seeds assigned in the same round must not target the
-            # same region either (consecutive seeds cluster). One
-            # broadcast test against everything picked so far (the
-            # pairwise python loop was a measurable slice of per-round
-            # host time at production lane counts).
-            if not available:
-                return False
-            picked = np.asarray(available)
-            return bool(np.any(np.all(
-                np.abs(picked - np.asarray(cand)) <= self._pred_size,
-                axis=1)))
-
         boxes = self._active_lane_boxes()
         # Retry seeds deferred earlier (their region was being flooded
-        # by another lane at the time). One vectorized near-screen AND
-        # one vectorized validity screen per round (claims only grow,
-        # so validating a candidate the fill below never reaches drops
-        # it no later than its eventual sequential validation would).
+        # by another lane at the time): still-near ones stay deferred,
+        # free invalid ones drop, free valid spaced ones are accepted.
         if self._deferred:
-            deferred = np.array(self._deferred)
+            deferred = self._deferred.arr
             near = self._near_active(deferred, boxes)
             valid = np.zeros(len(deferred), bool)
             free = np.flatnonzero(~near)
             if len(free):
                 valid[free] = self._valid_seed_batch(deferred[free])
-            still = []
-            for i, (cand, nr) in enumerate(zip(self._deferred, near)):
-                if len(available) >= n or nr or near_available(cand):
-                    still.append(cand)
-                elif valid[i]:
-                    available.append(tuple(cand))
-            self._deferred = still
+            sp = _SpacedAccept(deferred, available, self._pred_size)
+            keep = np.ones(len(deferred), bool)
+            near_l, valid_l = near.tolist(), valid.tolist()
+            for i in range(len(deferred)):
+                if len(available) >= n:
+                    break
+                if near_l[i] or sp.conflicted(i):
+                    continue   # stays deferred
+                keep[i] = False
+                if valid_l[i]:
+                    pos = tuple(int(v) for v in deferred[i])
+                    available.append(pos)
+                    sp.accepted(pos)
+            self._deferred.replace(deferred[keep])
         # Fresh draws from the policy, validated in chunks sized to the
         # remaining demand. Each chunk item adds at most one seed to
         # `available`, so the chunk can never overshoot `n` — iterator
         # order is preserved with nothing drawn ahead and discarded.
         while len(available) < n and not seeds_exhausted:
-            chunk = []
-            while len(chunk) < n - len(available):
-                try:
-                    chunk.append(tuple(next(seed_iter)))
-                except StopIteration:
-                    seeds_exhausted = True
-                    break
-            if not chunk:
+            want = n - len(available)
+            if hasattr(seed_iter, "draw_batch"):
+                chunk = seed_iter.draw_batch(want)
+                seeds_exhausted = len(chunk) < want
+            else:
+                chunk = []
+                while len(chunk) < want:
+                    try:
+                        chunk.append(tuple(next(seed_iter)))
+                    except StopIteration:
+                        seeds_exhausted = True
+                        break
+            if not len(chunk):
                 break
-            arr = np.asarray(chunk)
+            arr = np.asarray(chunk, np.int64).reshape(-1, 3)
             valid = self._valid_seed_batch(arr)
             near = self._near_active(arr, boxes)
-            for cand, ok, nr in zip(chunk, valid, near):
-                if not ok:
+            sp = _SpacedAccept(arr, available, self._pred_size)
+            near_l, valid_l = near.tolist(), valid.tolist()
+            for i in range(len(arr)):
+                if not valid_l[i]:
                     continue
-                if nr or near_available(cand):
+                pos = tuple(int(v) for v in arr[i])
+                if near_l[i] or sp.conflicted(i):
                     # A running lane (or a seed picked this round) is
                     # already flooding this region; retry once it
                     # finalizes (usually rejected as already-segmented
                     # then — matching serial ordering — but not
                     # dropped).
-                    self._deferred.append(cand)
+                    self._deferred.append(pos)
                     continue
-                available.append(tuple(cand))
+                available.append(pos)
+                sp.accepted(pos)
 
         # Relaxed deferral: when most lanes would sit idle, the conv
         # slots they'd occupy are free anyway — better to speculatively
@@ -476,16 +605,24 @@ class BatchCanvas:
         # semantics are unchanged; the only cost is duplicate compute
         # that idle slots donate.
         if len(available) < n and relax_threshold is not None \
-                and n > relax_threshold:
-            still = []
-            for cand in self._deferred:
-                cand_t = tuple(int(v) for v in cand)
-                if len(available) >= n or near_available(cand_t):
-                    still.append(cand)
-                elif self._valid_seed_pos(cand_t):
-                    available.append(cand_t)
+                and n > relax_threshold and self._deferred:
+            deferred = self._deferred.arr
+            valid = self._valid_seed_batch(deferred)
+            sp = _SpacedAccept(deferred, available, self._pred_size)
+            keep = np.ones(len(deferred), bool)
+            valid_l = valid.tolist()
+            for i in range(len(deferred)):
+                if len(available) >= n:
+                    break
+                if sp.conflicted(i):
+                    continue   # stays deferred
+                keep[i] = False
+                if valid_l[i]:
+                    pos = tuple(int(v) for v in deferred[i])
+                    available.append(pos)
+                    sp.accepted(pos)
                     self.counters["relaxed-deferral-seeds"].Increment()
-            self._deferred = still
+            self._deferred.replace(deferred[keep])
         return available, seeds_exhausted
 
     def _assign_fresh_seeds(self, seed_iter, seeds_exhausted: bool):

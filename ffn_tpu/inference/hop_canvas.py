@@ -756,8 +756,7 @@ class HopBatchCanvas(batch_canvas_lib.BatchCanvas):
                 self.seg_prob[...] = data["seg_qprob"]
             self.origins = data["origins"].item()
             self.overlaps = data["overlaps"].item()
-            self._deferred = [tuple(int(v) for v in row)
-                              for row in data["deferred"]]
+            self._deferred = batch_canvas_lib._SeedPool(data["deferred"])
             self._max_id = int(np.max(self.segmentation, initial=0))
             self._seed_policy_state = data["seed_policy_state"]
             self.counters.loads_np(data["counters"])

@@ -117,6 +117,17 @@ class BaseSeedPolicy:
         self.idx += 1
         return tuple(int(v) for v in pos)
 
+    def draw_batch(self, k: int) -> np.ndarray:
+        """Advances the cursor by up to k and returns the drawn block as
+        an (m, 3) array — the vectorized equivalent of m next() calls
+        (per-candidate iteration was a measured supply bottleneck for
+        the batched drivers). m < k means the policy is exhausted."""
+        if self.coords is None:
+            self._materialize()
+        batch = self.coords[self.idx:self.idx + int(k)]
+        self.idx += len(batch)
+        return batch
+
     def get_state(self, previous=False):
         """Pickleable (coords, cursor); `previous` rewinds one seed for
         in-progress segment checkpointing."""

@@ -185,9 +185,15 @@ class MultiSubvolumeHopDriver:
         self._fifo_entries = []      # this round's FIFO (slot, pos) rows
         self._fifo_consumed_est = 0  # last round's kernel consumption
         if self.device_finalize:
+            # FIFO sized for full-round reseed demand: seed lifetimes on
+            # object-sparse volumes are ~2-3 hops, so one 16-hop round
+            # can consume ~hops/2 seeds per lane. A FIFO at 2x lanes
+            # capped loading at ~0.8 seeds/lane/round — the measured
+            # reason lanes sat dead for most of the round (2.8 of 16
+            # hops executed) while the conv batch ran at full width.
             self._fstate = self.engine.init_finalize_state(
                 self.K, self.lanes, self.slot_shape,
-                fifo_capacity=max(2 * self.lanes, 256))
+                fifo_capacity=max(8 * self.lanes, 512))
         if mesh is not None:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec
@@ -273,7 +279,11 @@ class MultiSubvolumeHopDriver:
 
     def _load_next_into(self, k: int) -> bool:
         """Loads the next pending subvolume into slot k; False if none
-        (or all remaining were masked/already done)."""
+        (or all remaining were masked/already done). Loads block (the
+        prefetch pool usually has the inputs ready) so the task -> slot
+        binding stays deterministic — segmentation output must not vary
+        with host IO timing (the mesh-parity test asserts two runs are
+        voxel-identical)."""
         request = self.runner.request
         while self.tasks:
             corner, size = self.tasks.popleft()
@@ -340,7 +350,7 @@ class MultiSubvolumeHopDriver:
             return False
         if getattr(slot, "screened_ready", None):
             return False   # banked strong seeds still to flood
-        if any(ref is slot for cands, _ in self._pending_screens
+        if any(ref is slot for cands, *_ in self._pending_screens
                for _, ref, _ in cands):
             return False   # screen verdicts still in flight
         return not any(
@@ -439,19 +449,39 @@ class MultiSubvolumeHopDriver:
             slot.screened_ready = ready
         return assignments
 
-    def _collect_screens(self):
-        """Materializes every in-flight screen batch (blocks until the
-        device reaches it) and banks the verdicts: duds get the same
-        weak-seed outcome the lane path would record; survivors join
-        their slot's screened_ready pool. Batches whose slot was saved
-        and reloaded since dispatch are dropped (the verdicts were
-        computed against the previous subvolume's image)."""
+    def _collect_screens(self, drain: bool = False):
+        """Banks the verdicts of LANDED screen batches: duds get the
+        same weak-seed outcome the lane path would record; survivors
+        join their slot's screened_ready pool. Batches whose slot was
+        saved and reloaded since dispatch are dropped (the verdicts were
+        computed against the previous subvolume's image).
+
+        A batch dispatched during round N rides the device queue behind
+        round N's hop program, so it is guaranteed finished (and its
+        async D2H landed) once round N+1's packed result has
+        materialized — collecting only batches two round-boundaries old
+        never blocks the host on screen compute (the eager collect cost
+        a measured 62 s of blocking on the 250^3 fused run). `drain`
+        collects everything regardless (the supply-starved path needs
+        the verdicts NOW and has no round to hide behind)."""
         import time as _time
 
         if not self._pending_screens:
             return
         t0 = _time.time()
-        for cands, strong_dev in self._pending_screens:
+        ready, pending = [], []
+        for entry in self._pending_screens:
+            # Stamped with stats["rounds"] at dispatch; the counter
+            # increments once per completed round, so a stamp two below
+            # the current value means a later hop program (which ran
+            # AFTER this batch on the device queue) has already
+            # materialized.
+            if drain or entry[2] < self.stats["rounds"] - 1:
+                ready.append(entry)
+            else:
+                pending.append(entry)
+        self._pending_screens = pending
+        for cands, strong_dev, _ in ready:
             strong = np.asarray(strong_dev)
             for (k, slot_ref, pos), ok in zip(cands, strong):
                 slot = self.slots[k]
@@ -467,7 +497,6 @@ class MultiSubvolumeHopDriver:
                     slot.counters["screened-weak-seeds"].Increment()
                 else:
                     slot.screened_ready.append(pos)
-        self._pending_screens = []
         dt = _time.time() - t0
         self.stats["t_screen"] = self.stats.get("t_screen", 0.0) + dt
         self.stats["collect_calls"] = self.stats.get(
@@ -504,19 +533,22 @@ class MultiSubvolumeHopDriver:
             return 0
         banked = sum(len(getattr(self.slots[k], "screened_ready", []))
                      for k in order)
-        in_flight = sum(len(c) for c, _ in self._pending_screens)
+        in_flight = sum(len(c) for c, *_ in self._pending_screens)
         # Device-finalize mode: the round's FIFO entries are neither
         # banked nor assigned yet; estimate how many will come back
         # using last round's kernel consumption (the force path covers
         # under-estimates).
         fifo_est = max(0, len(self._fifo_entries)
                        - self._fifo_consumed_est)
-        # Watermark of banked-or-in-flight seeds. >1x lanes banks spare
-        # supply so mid-round kernel reseeds never starve on a drained
-        # FIFO (suspected cause of lanes executing ~10 of 16 hops);
-        # tunable for measurement.
-        # Unscreened pools hold ~2x duds, so bank deeper by default.
-        default_wm = "1.0" if self.screen_enabled else "1.5"
+        # Watermark of banked-or-in-flight seeds. Seed lifetimes on
+        # object-sparse volumes are ~2-3 hops, so a 16-hop round can
+        # consume several seeds per lane; a 1x-lanes watermark was the
+        # measured supply throttle (FIFO drained dry every round, lanes
+        # executed 2.8 of 16 hops). 3x lifts the 250^3 fused run from
+        # 305 s/0.9667 to 253 s/0.9833; 6x adds +16% speculative convs
+        # for no further gain. Screened mode banks one round of extra
+        # latency for the lazy verdict collect.
+        default_wm = "2.0" if self.screen_enabled else "3.0"
         watermark = int(self.lanes * float(os.environ.get(
             "FFN_TPU_SCREEN_WATERMARK", default_wm)))
         need = watermark - banked - in_flight - fifo_est
@@ -593,7 +625,8 @@ class MultiSubvolumeHopDriver:
             # finishes so _collect_screens reads a landed buffer instead
             # of paying a tunnel round trip per batch.
             strong_dev.copy_to_host_async()
-            self._pending_screens.append((cands, strong_dev))
+            self._pending_screens.append(
+                (cands, strong_dev, self.stats["rounds"]))
             self.stats["screen_calls"] = self.stats.get(
                 "screen_calls", 0) + 1
             self.stats["screen_cands"] = self.stats.get(
@@ -778,6 +811,10 @@ class MultiSubvolumeHopDriver:
             for k in range(self.K):
                 if self._slot_finished(k):
                     self._save_slot(k)
+            t_sv = time.time()
+            self.stats["t_save_disp"] = self.stats.get(
+                "t_save_disp", 0.0) + t_sv - t0
+            for k in range(self.K):
                 if self.slots[k] is None:
                     self._load_next_into(k)
             self.stats["t_load"] += time.time() - t0
@@ -838,6 +875,10 @@ class MultiSubvolumeHopDriver:
                 # verdicts are banked at the top of the next iteration.
                 t0 = time.time()
                 dispatched = self._dispatch_screens(active, force=True)
+                # No hop round will age these batches out of the lazy
+                # collect window — block for the verdicts right here
+                # (the starved path has no device round to hide behind).
+                self._collect_screens(drain=True)
                 self.stats["t_seed"] += time.time() - t0
                 self.stats["force_dispatches"] = self.stats.get(
                     "force_dispatches", 0) + 1

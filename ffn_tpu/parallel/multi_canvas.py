@@ -980,12 +980,18 @@ class MultiSubvolumeHopDriver:
             t_ing = time.time() - t0
             self.stats["t_ingest"] += t_ing
             if trace:
+                n_rows = len(rows) if self.device_finalize else -1
+                fifo_used = fifo_head if self.device_finalize else -1
                 logging.info(
                     "[trace] round %d: collect %.2f assign %d/%d "
-                    "hops(disp+wait) %.2f screen_disp %.2f ingest %.2f",
+                    "fifo_in %d hops(disp+wait) %.2f screen_disp %.2f "
+                    "ingest %.2f fin_rows %d fifo_used %d pops %d "
+                    "executed %d",
                     self.stats["rounds"], t_collect, len(assignments),
-                    len(assignments) + unfilled, dt - (t2 - t1),
-                    t2 - t1, t_ing)
+                    len(assignments) + unfilled, n_fifo,
+                    dt - (t2 - t1), t2 - t1, t_ing, n_rows, fifo_used,
+                    int(aux["pops"].sum()),
+                    int(aux["executed"].sum()))
 
         self._harvest_saves(wait=True)
         return self.completed

@@ -16,14 +16,17 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CKPTS = sorted(glob.glob(os.path.join(REPO, "models/phantom/*.npz")))
 BEST = os.path.join(REPO, "models/phantom/model-r2.npz")
+BEST_B = os.path.join(REPO, "models/phantom/model-r4b.npz")
 
 # Model configuration per shipped checkpoint family (see
 # models/phantom/README.md). Default: the flagship fib25 shape.
 FLAGSHIP = dict(fov_size=[33, 33, 33], deltas=[8, 8, 8], depth=12,
                 features=32)
+TINY = dict(fov_size=[17, 17, 17], deltas=[6, 6, 6], depth=2,
+            features=16)
 CONFIGS = {
-    "model-ci-tiny.npz": dict(fov_size=[17, 17, 17], deltas=[6, 6, 6],
-                              depth=2, features=16),
+    "model-ci-tiny.npz": TINY,
+    "model-ci-tiny-b.npz": TINY,
 }
 
 
@@ -52,20 +55,29 @@ def test_shipped_checkpoint_loads_and_runs(path):
 @pytest.mark.quality
 @pytest.mark.skipif(os.environ.get("FFN_QUALITY") != "1",
                     reason="needs FFN_QUALITY=1 + a real accelerator")
-@pytest.mark.skipif(not os.path.exists(BEST),
-                    reason="best checkpoint not shipped yet")
-def test_shipped_checkpoint_quality_gate():
-    """Object-level agreement of the shipped round-2 checkpoint on a
-    held-out phantom must not regress below the published floor."""
+@pytest.mark.parametrize("ckpt,morph", [(BEST, "a"), (BEST_B, "b")],
+                         ids=["morphology-a", "morphology-b"])
+def test_shipped_checkpoint_quality_gate(ckpt, morph):
+    """Object-level agreement of the shipped flagship checkpoints on
+    held-out phantoms must not regress below the published floor.
+
+    One checkpoint per morphology family (the reference's per-dataset
+    checkpoint model, ref models/fib25/README.md): model-r2 for the
+    isotropic family A, model-r4b (a B fine-tune of model-r2, see
+    models/phantom/README.md) for the anisotropic lognormal family B.
+    """
     import json
     import subprocess
     import sys
 
+    if not os.path.exists(ckpt):
+        pytest.skip(f"{os.path.basename(ckpt)} not shipped yet")
     # Q_PAD_IMAGE: reflect padding so border cells are scored on model
     # quality, not FOV-margin reachability (production uses overlapping
     # subvolumes; see tools/quality_eval.py).
-    env = dict(os.environ, Q_CKPT=BEST, Q_SIZE="100", Q_SMALL="0",
-               Q_LANES="16", Q_MAX_ITERS="4000", Q_PAD_IMAGE="16")
+    env = dict(os.environ, Q_CKPT=ckpt, Q_SIZE="100", Q_SMALL="0",
+               Q_LANES="16", Q_MAX_ITERS="4000", Q_PAD_IMAGE="16",
+               Q_MORPH=morph)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools/quality_eval.py")],
         env=env, capture_output=True, text=True, timeout=3600)

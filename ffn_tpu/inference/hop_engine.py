@@ -556,25 +556,42 @@ class HopEngine(FloodFillEngine):
                 head, found = carry[0], carry[1]
                 return running & (head < tail) & ~found
 
+            # Windowed drain: each iteration examines the next W queue
+            # entries at once (vectorized gathers) and jumps head past
+            # the leading invalid run. Semantically identical to the
+            # one-entry-per-iteration pop (same first-valid winner, same
+            # counter attribution), but the vmapped while_loop's depth —
+            # which every lane pays, set by the WORST lane's stale run
+            # (observed up to ~800 pops in one lane-round) — drops by W.
+            W = 16
+
             def body(carry):
                 head, found, pos, st, si, sr = carry
-                cand = qpos[head % Q]
+                idx = head + jnp.arange(W, dtype=head.dtype)
+                in_q = idx < tail
+                cand = qpos[idx % Q]
                 (in_bounds, is_blocked, is_restricted, is_done,
-                 weak) = checks(cand)
-                ok = fresh | (in_bounds & ~is_blocked & ~is_restricted
-                              & ~is_done & ~weak)
+                 weak) = jax.vmap(checks)(cand)
+                ok = (fresh | (in_bounds & ~is_blocked & ~is_restricted
+                               & ~is_done & ~weak)) & in_q
+                any_ok = jnp.any(ok)
+                first = jnp.argmax(ok)
+                n_bad = jnp.where(any_ok, first,
+                                  jnp.sum(in_q.astype(jnp.int32)))
+                consumed = (jnp.arange(W) < n_bad) & in_q
                 # Counter attribution mirrors BatchCanvas._host_valid:
                 # dedup discards are uncounted; bounds/claimed ->
                 # skip_invalid; restrictor -> skip_restricted;
                 # below-threshold -> skip_threshold.
                 bad_pos = ~in_bounds | is_blocked
-                counted = ~ok & ~is_done
-                st = st + jnp.int32(counted & ~bad_pos & ~is_restricted
-                                    & weak)
-                si = si + jnp.int32(counted & bad_pos)
-                sr = sr + jnp.int32(counted & ~bad_pos & is_restricted)
-                return (head + jnp.int32(~ok), ok,
-                        jnp.where(ok, cand, pos), st, si, sr)
+                counted = consumed & ~is_done
+                st = st + jnp.sum(jnp.int32(counted & ~bad_pos
+                                            & ~is_restricted & weak))
+                si = si + jnp.sum(jnp.int32(counted & bad_pos))
+                sr = sr + jnp.sum(jnp.int32(counted & ~bad_pos
+                                            & is_restricted))
+                return (head + n_bad, any_ok,
+                        jnp.where(any_ok, cand[first], pos), st, si, sr)
 
             init = (head, jnp.bool_(False), start, skip_t, skip_i, skip_r)
             head0 = head
@@ -614,20 +631,34 @@ class HopEngine(FloodFillEngine):
             claimed_at = ((seg_sv[start[0], start[1], start[2]] > 0)
                           | ((blk_sv[start[0], start[1], start[2]]
                               & BLOCKED_CLAIMED) > 0))
-            # NaN (unvisited) compares False; padding stays NaN, so the
-            # mask can never claim outside the slot's true extent.
-            mask = ((seed >= seg_t.astype(seed.dtype))
-                    & (seg_sv == 0)
-                    & ((blk_sv & BLOCKED_CLAIMED) == 0))
-            nvox = jnp.sum(mask.astype(jnp.int32))
             weak = (status == DONE_WEAK) | ~start_ok
             invalid = iters <= 0
-            ok = (do_fin & ~invalid & ~weak & ~claimed_at
-                  & (nvox >= min_size.astype(jnp.int32)))
+            cand_fin = do_fin & ~invalid & ~weak & ~claimed_at
             sid = fstate.next_sid[sv]
-            new_seg_sv = jnp.where(ok & mask, sid, seg_sv)
-            seg = jax.lax.dynamic_update_slice(
-                fstate.seg, new_seg_sv[None], (sv, 0, 0, 0))
+
+            def mask_of():
+                # NaN (unvisited) compares False; padding stays NaN, so
+                # the mask can never claim outside the slot's extent.
+                return ((seed >= seg_t.astype(seed.dtype))
+                        & (seg_sv == 0)
+                        & ((blk_sv & BLOCKED_CLAIMED) == 0))
+
+            # The claim mask, voxel count, and segmentation write touch
+            # the whole subvolume (tens of MB) — but duds and
+            # reseed-only lanes, the vast majority of finalize_one
+            # calls, decide their verdict from the status/origin checks
+            # alone, so the heavy work runs under a scalar branch.
+            nvox = jax.lax.cond(
+                cand_fin,
+                lambda: jnp.sum(mask_of().astype(jnp.int32)),
+                lambda: jnp.int32(0))
+            ok = cand_fin & (nvox >= min_size.astype(jnp.int32))
+            seg = jax.lax.cond(
+                ok,
+                lambda s: jax.lax.dynamic_update_slice(
+                    s, jnp.where(mask_of(), sid, seg_sv)[None],
+                    (sv, 0, 0, 0)),
+                lambda s: s, fstate.seg)
             next_sid = fstate.next_sid.at[sv].add(
                 ok.astype(jnp.int32))
             outcome = jnp.where(
@@ -675,14 +706,45 @@ class HopEngine(FloodFillEngine):
             claimed = fstate.claimed.at[fstate.fifo_sv].add(
                 skipped.astype(jnp.int32))
 
-            # Reset lane li: blank seed with the init activation planted
-            # at the new origin (one lane-sized temp, ~2 bytes/voxel).
-            blank = jnp.full(seed.shape, jnp.nan, seed.dtype)
-            blank = blank.at[pos2[0], pos2[1], pos2[2]].set(
-                init_act.astype(seed.dtype))
-            seed_new = jnp.where(got, blank, seed)
-            seeds = jax.lax.dynamic_update_slice(
-                state.seeds, seed_new[None], (li, 0, 0, 0))
+            # Reset lane li: plant the init activation on a blank seed.
+            # The buffer's only non-NaN voxels are the finished object's
+            # pred-patch writes, whose union is bounded by the tracked
+            # visited bbox [minp, maxp] widened by the patch extent — so
+            # for the dominant reseed case (a dud that ran a hop or two)
+            # a small static NaN block over that dirty box replaces the
+            # full lane-buffer blank (~40x less HBM traffic per reseed
+            # at 165^3 slots). Objects wider than the block fall back to
+            # the full blank.
+            pred_np = np.asarray(self._pred_size, np.int32)
+            soff_np = np.asarray([s // 2 for s in self._seed_size],
+                                 np.int32)
+            off0_np = np.asarray(self._pred_delta, np.int32) - soff_np
+            dims_np = np.asarray(seed.shape, np.int32)
+            delt_np = np.maximum(np.asarray(self.info.deltas[::-1],
+                                            np.int32), 1)
+            sblk = tuple(np.minimum(pred_np + 2 * delt_np, dims_np))
+            span = state.maxp[li] - state.minp[li]
+            small = jnp.all(span <= jnp.asarray(sblk) - pred_np)
+            corner = state.minp[li] + off0_np
+
+            def blank_small(seeds):
+                block = jnp.full((1, *sblk), jnp.nan, seed.dtype)
+                return jax.lax.dynamic_update_slice(
+                    seeds, block, (li, corner[0], corner[1], corner[2]))
+
+            def blank_full(seeds):
+                block = jnp.full((1, *seed.shape), jnp.nan, seed.dtype)
+                return jax.lax.dynamic_update_slice(
+                    seeds, block, (li, 0, 0, 0))
+
+            seeds = jax.lax.cond(
+                got,
+                lambda s: jax.lax.cond(small, blank_small, blank_full,
+                                       s),
+                lambda s: s, state.seeds)
+            seeds = seeds.at[li, pos2[0], pos2[1], pos2[2]].set(
+                jnp.where(got, init_act.astype(seed.dtype),
+                          seeds[li, pos2[0], pos2[1], pos2[2]]))
             done_li = jax.lax.dynamic_index_in_dim(state.done, li, 0,
                                                    keepdims=False)
             done_new = jnp.where(got, jnp.zeros_like(done_li), done_li)

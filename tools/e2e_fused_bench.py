@@ -152,6 +152,11 @@ def main():
                     [x for _, x in r["round_times"]], 90))), 1)
             if r.get("round_times") else 0.0,
         }), flush=True)
+        dump = os.environ.get("F_DUMP_ROUNDS")
+        if dump and r.get("round_times"):
+            with open(dump, "w") as f:
+                json.dump([[h, round(d, 4)] for h, d in
+                           r["round_times"]], f)
 
     # Sub-counters propagate to the runner's root counters.
     fovs = runner.counters["fov-moves"].value

@@ -875,18 +875,62 @@ class HopEngine(FloodFillEngine):
                           state.skip_threshold, state.skip_invalid,
                           state.skip_restricted)
 
-            def lane_exec(seed, sv, done, start, minp, maxp, iters, pos,
-                          execute):
-                seed_off = jnp.array([s // 2 for s in self._seed_size],
-                                     jnp.int32)
+            seed_off = jnp.array([s // 2 for s in self._seed_size],
+                                 jnp.int32)
+
+            def lane_patches(seed, sv, pos):
                 seed_start = pos - seed_off
                 image_patch = jax.lax.dynamic_slice(
                     image, jnp.concatenate([sv[None], pos - margin]),
                     (1,) + tuple(self._image_size))[0]
                 seed_patch = jax.lax.dynamic_slice(seed, seed_start,
                                                    self._seed_size)
-                logits = self._apply_model(image_patch, seed_patch, opts)
+                return image_patch, seed_patch
 
+            img_p, seed_p = jax.vmap(lane_patches)(state.seeds, state.sv,
+                                                   pos)
+
+            # Conv compaction: in a typical fused-driver hop only ~40%
+            # of lanes execute a move (the rest drained their queue, are
+            # between objects, or idle on an empty FIFO), yet the model
+            # batch — the hop's dominant FLOPs — used to run over all B
+            # lanes. Sort executing lanes first (stable argsort on the
+            # execute flag), pick the smallest power-of-two-ish bucket
+            # that covers them, and run the conv on that bucket only;
+            # results scatter back by lane id. Non-executing lanes get
+            # zero logits, masked out by `execute` downstream exactly as
+            # the garbage conv outputs were before. Per-sample conv
+            # results are independent of batch size, so move sequences
+            # are unchanged.
+            B_l = pos.shape[0]
+            exec_first = jnp.argsort(jnp.logical_not(execute),
+                                     stable=True)
+            n_exec = jnp.sum(execute.astype(jnp.int32))
+            buckets = sorted({max(1, B_l // 8), max(1, B_l // 4),
+                              max(1, B_l // 2), B_l})
+
+            def conv_bucket(S):
+                def run(_):
+                    sel = exec_first[:S]
+                    lg = jax.vmap(
+                        lambda ip, sp: self._apply_model(ip, sp, opts))(
+                            img_p[sel], seed_p[sel])
+                    out = jnp.zeros((B_l,) + lg.shape[1:], lg.dtype)
+                    return out.at[sel].set(lg)
+                return run
+
+            def pick(i):
+                if i == len(buckets) - 1:
+                    return conv_bucket(buckets[i])
+                return lambda _: jax.lax.cond(
+                    n_exec <= buckets[i], conv_bucket(buckets[i]),
+                    pick(i + 1), None)
+
+            logits_all = pick(0)(None)
+
+            def lane_exec(seed, sv, done, start, minp, maxp, iters, pos,
+                          execute, logits):
+                seed_start = pos - seed_off
                 write_start = seed_start + jnp.array(self._pred_delta,
                                                      jnp.int32)
                 old = jax.lax.dynamic_slice(seed, write_start,
@@ -923,7 +967,8 @@ class HopEngine(FloodFillEngine):
             (seeds, done, minp, maxp, iters, scores6, offsets6, keep6) = \
                 jax.vmap(lane_exec)(
                     state.seeds, state.sv, state.done, state.start,
-                    state.minp, state.maxp, state.iters, pos, execute)
+                    state.minp, state.maxp, state.iters, pos, execute,
+                    logits_all)
             qpos, qscore = state.qpos, state.qscore
             tail, overflow = state.tail, state.overflow
 

@@ -23,6 +23,13 @@ Env knobs:
                  (ref models/fib25/README.md).
   MIX_BATCH (128), MIX_SIZE (200), MIX_WORKDIR (/tmp/ph_r3_mix),
   MIX_LR (1e-3), MIX_DEPTH (12)
+
+Measured round 4 (B-only warm start from the A flagship at step 2762,
+LR 1e-3): held-out B agreement 0.5911 (A ckpt) -> 0.7333 at +238 steps,
+then COLLAPSE to ~0 by +488 steps (loss oscillating 0.24<->0.59,
+moves/correct decaying) — full training LR destabilizes the fine-tune.
+Next recipe iteration should use MIX_LR=1e-4..3e-4; the shipped
+models/phantom/model-r4b.npz is the +238-step pre-collapse peak.
 """
 
 import json

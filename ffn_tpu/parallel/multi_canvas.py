@@ -250,6 +250,78 @@ class MultiSubvolumeHopDriver:
                       "running_lane_rounds": 0, "t_hops": 0.0,
                       "t_ingest": 0.0, "t_seed": 0.0, "t_load": 0.0,
                       "t_reseed": 0.0}
+        if self.tasks and os.environ.get("FFN_TPU_WARMUP", "1") != "0":
+            self.warmup()
+
+    def warmup(self):
+        """Compiles every device program the round loop will use BEFORE
+        the first round, so no measured round pays a compile. The
+        round-4 straggler accounting attributed 38% of the fused 250^3
+        wall to rounds above p90, and the p99/max tail was first-use
+        compiles: run_hops itself, the save path's cropped slice at each
+        distinct edge-subvolume size, and the slot-stack update shapes.
+        Runs synchronously at construction — the h5 prefetches submitted
+        just above overlap it — and is semantically a no-op: all lanes
+        are idle, the FIFO is empty, and the slot-stack writes re-write
+        the constructor's fill values. Thresholds (fin_opts / options)
+        are traced arguments, so the dummy values here compile the same
+        programs the real rounds reuse."""
+        import time
+
+        engine = self.engine
+        t0 = time.time()
+        if self.device_finalize:
+            # The hop program (the big compile). All-idle lanes + an
+            # empty FIFO make this an empty round on device.
+            self._state, self._fstate, packed = engine.run_hops(
+                self._image_dev, self._blocked_dev, self._state,
+                self.hops, self.max_iters_per_segment,
+                shapes=self.shapes, sync=False, fstate=self._fstate,
+                fin_opts=np.zeros(3, np.float32))
+            engine.unpack_round(packed, self.lanes, self.K)
+            self._fstate = engine.round_prep(
+                self._fstate, np.zeros((0, 3), np.int32),
+                np.zeros((0,), np.int32), np.zeros(self.lanes, bool))
+            self._fstate = engine.reset_slot_seg(self._fstate, 0, 1)
+            # The save path's cropped slice: one program per DISTINCT
+            # task size (edge subvolumes differ from interior ones, so
+            # without this the first save of each size compiled inside
+            # a measured round).
+            for size in sorted({tuple(int(v) for v in s)
+                                for _, s in self.tasks}):
+                np.asarray(engine.slice_slot_seg(self._fstate, 0, size))
+        else:
+            self._state, packed = engine.run_hops(
+                self._image_dev, self._blocked_dev, self._state,
+                self.hops, self.max_iters_per_segment,
+                shapes=self.shapes, sync=False)
+            engine.unpack_aux(packed)
+            # reseed (an all-False mask is the identity) + the
+            # finalization pre-gate.
+            self._state = engine.reseed_lanes(
+                self._state, np.zeros(self.lanes, bool),
+                np.zeros((self.lanes, 3), np.int32), 0.0,
+                sv=np.maximum(self.lane_slot, 0))
+            engine.lane_verdicts(self._state, self._blocked_dev,
+                                 0.0, 0.0)
+        if self.screen_enabled:
+            for n in (1, engine.SCREEN_BATCH):
+                np.asarray(engine.screen_seeds_async(
+                    self._image_dev, np.zeros((n, 3), np.int32), 0.0,
+                    sv=np.zeros(n, np.int32)))
+        # Slot-stack update programs (the first slot load would compile
+        # them; the writes below restore the constructor's fill values).
+        self._image_dev = engine.update_stack_slot(
+            self._image_dev, 0, np.zeros(self.slot_shape, np.float32))
+        self._blocked_dev = engine.update_stack_slot(
+            self._blocked_dev, 0,
+            np.full(self.slot_shape, hop_engine_lib.BLOCKED_CLAIMED,
+                    np.uint8),
+            fill=hop_engine_lib.BLOCKED_CLAIMED)
+        self.stats["t_warmup"] = time.time() - t0
+        logging.info("driver warmup: %.1f s (%d programs precompiled)",
+                     self.stats["t_warmup"],
+                     len(engine._run_hops_cache) + 4)
 
     # -- slot loading / saving ------------------------------------------------
 

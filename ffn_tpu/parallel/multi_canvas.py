@@ -225,6 +225,21 @@ class MultiSubvolumeHopDriver:
             self.screen_enabled = env_screen != "0"
         else:
             self.screen_enabled = not self.device_finalize
+        # Seed-supply watermark (in units of lanes). A fixed multiplier
+        # was measured two-sided: 1x starved the FIFO (lanes executed
+        # 2.8/16 hops), 6x added +16% speculative convs for no gain —
+        # and the right value depends on seed lifetimes, which vary by
+        # dataset and run phase (fresh subvolume vs tail). Unless the
+        # env pins it, the multiplier adapts each round on the kernel's
+        # own FIFO consumption: a fully-drained FIFO raises it (supply
+        # was the binding constraint), a half-unconsumed one decays it
+        # toward the default (drawing further ahead only floods seeds
+        # that claims would have culled).
+        env_wm = os.environ.get("FFN_TPU_SCREEN_WATERMARK")
+        self._wm_default = float(env_wm) if env_wm is not None else (
+            2.0 if self.screen_enabled else 3.0)
+        self._wm_mult = self._wm_default
+        self._wm_adaptive = env_wm is None
         self.slots: list = [None] * self.K
         self._slot_meta: list = [None] * self.K   # (corner, size, alignment)
         self._next_serve = 0   # round-robin cursor for seed allocation
@@ -620,9 +635,7 @@ class MultiSubvolumeHopDriver:
         # 305 s/0.9667 to 253 s/0.9833; 6x adds +16% speculative convs
         # for no further gain. Screened mode banks one round of extra
         # latency for the lazy verdict collect.
-        default_wm = "2.0" if self.screen_enabled else "3.0"
-        watermark = int(self.lanes * float(os.environ.get(
-            "FFN_TPU_SCREEN_WATERMARK", default_wm)))
+        watermark = int(self.lanes * self._wm_mult)
         need = watermark - banked - in_flight - fifo_est
         if need <= 0:
             return 0
@@ -1041,10 +1054,22 @@ class MultiSubvolumeHopDriver:
                 t_drain = time.time() - t0
                 self.stats["t_drain"] = self.stats.get(
                     "t_drain", 0.0) + t_drain
+                loaded = len(self._fifo_entries)
                 self.stats["fifo_loaded"] = self.stats.get(
-                    "fifo_loaded", 0) + len(self._fifo_entries)
+                    "fifo_loaded", 0) + loaded
                 self.stats["fifo_consumed"] = self.stats.get(
                     "fifo_consumed", 0) + fifo_head
+                if self._wm_adaptive and loaded > 0:
+                    # The kernel's own consumption is the supply signal
+                    # (deterministic: fifo_head comes out of the packed
+                    # round result, so adaptation cannot diverge between
+                    # otherwise-identical runs).
+                    if fifo_head >= loaded:
+                        self._wm_mult = min(self._wm_mult * 1.5, 8.0)
+                    elif fifo_head < loaded // 2:
+                        self._wm_mult = max(self._wm_mult * 0.9,
+                                            self._wm_default)
+                    self.stats["wm_mult"] = round(self._wm_mult, 3)
                 self._rebank_fifo(fifo_head)
                 self._ingest_device(aux, rows)
             else:

@@ -86,6 +86,14 @@ def test_device_finalize_matches_host_finalize(tmp_path, monkeypatch,
     device-finalize default — duds are killed by the kernel's DONE_WEAK
     finalize instead of a separate screen program)."""
     monkeypatch.setenv("FFN_TPU_SCREEN", screen)
+    # Pin the seed-supply watermark: the adaptive multiplier reacts to
+    # the kernel FIFO's consumption, a signal only the device-finalize
+    # path has, so leaving it adaptive would compare the two paths
+    # under DIFFERENT seed schedules (supply is a scheduling input,
+    # like the lane count — both sides must match for the oracle to be
+    # meaningful).
+    monkeypatch.setenv("FFN_TPU_SCREEN_WATERMARK",
+                       "2.0" if screen == "1" else "3.0")
     request, outer = make_setup(tmp_path)
     request.concurrent_requests = 8
     calc = bounding_box.OrderlyOverlappingCalculator(

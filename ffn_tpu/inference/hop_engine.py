@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -143,6 +144,17 @@ class HopEngine(FloodFillEngine):
                          **kwargs)
         self.queue_capacity = int(queue_capacity)
         self._run_hops_cache = {}
+        # Conv compaction (batch the model over executing lanes only)
+        # is a pure win on FLOPs but on TPU/bf16 it is NOT bit-exact
+        # with the uncompacted kernel: conv batch size shifts bf16
+        # per-sample numerics slightly, which can flip a handful of
+        # face-max move choices (measured: 108,054 vs 107,946 FOV calls
+        # on the 250^3 fused e2e; agreement identical to 4 decimals).
+        # FFN_TPU_COMPACT=0 disables it for bit-exact replication runs
+        # (doc/parity_map.md "deviations"). CPU/f32 is bit-exact either
+        # way (parity tests cover both).
+        self.conv_compact = os.environ.get(
+            "FFN_TPU_COMPACT", "1") != "0"
 
     # -- state setup ---------------------------------------------------------
 
@@ -906,8 +918,11 @@ class HopEngine(FloodFillEngine):
             exec_first = jnp.argsort(jnp.logical_not(execute),
                                      stable=True)
             n_exec = jnp.sum(execute.astype(jnp.int32))
+            # FFN_TPU_COMPACT=0: full-batch conv only — bit-exact with
+            # pre-compaction kernels on TPU/bf16 (see __init__).
             buckets = sorted({max(1, B_l // 8), max(1, B_l // 4),
-                              max(1, B_l // 2), B_l})
+                              max(1, B_l // 2), B_l}) \
+                if self.conv_compact else [B_l]
 
             def conv_bucket(S):
                 def run(_):

@@ -304,7 +304,11 @@ class MultiSubvolumeHopDriver:
             # a measured round).
             for size in sorted({tuple(int(v) for v in s)
                                 for _, s in self.tasks}):
-                np.asarray(engine.slice_slot_seg(self._fstate, 0, size))
+                # Dispatch-only: compiling the slice program is the
+                # point; materializing the multi-MB crop would pay a
+                # blocking D2H per size on the tunneled runtime.
+                engine.slice_slot_seg(
+                    self._fstate, 0, size).block_until_ready()
         else:
             self._state, packed = engine.run_hops(
                 self._image_dev, self._blocked_dev, self._state,
@@ -1063,8 +1067,13 @@ class MultiSubvolumeHopDriver:
                     # The kernel's own consumption is the supply signal
                     # (deterministic: fifo_head comes out of the packed
                     # round result, so adaptation cannot diverge between
-                    # otherwise-identical runs).
-                    if fifo_head >= loaded:
+                    # otherwise-identical runs). A drained FIFO only
+                    # signals starvation when it was meaningfully sized:
+                    # at a subvolume tail the pools run dry (loaded=2,
+                    # consumed=2) and raising there would ratchet toward
+                    # the cap, overdrawing speculative convs when fresh
+                    # subvolumes load.
+                    if fifo_head >= loaded and loaded >= self.lanes:
                         self._wm_mult = min(self._wm_mult * 1.5, 8.0)
                     elif fifo_head < loaded // 2:
                         self._wm_mult = max(self._wm_mult * 0.9,

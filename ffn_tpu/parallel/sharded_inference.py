@@ -62,6 +62,7 @@ class PolicyNeighborOriginsThenPeaks(seed_lib.BaseSeedPolicy):
         peak_coords = self._peaks.coords
         if peak_coords is None:
             peak_coords = np.zeros((0, 3), np.int64)
+        self.num_handoff = len(handoff)   # observability (dryrun/tests)
         if handoff:
             self.coords = np.concatenate(
                 [np.array(handoff, np.int64), peak_coords])
@@ -142,7 +143,8 @@ class ShardedInferenceDriver:
                          runner: Optional[runner_lib.Runner] = None,
                          lanes: int = 64, slots: int = 4, hops: int = 16,
                          keep_probability_maps: bool = False,
-                         device_finalize: bool = True) -> int:
+                         device_finalize: bool = True,
+                         mesh=None) -> int:
         """Processes this worker's subvolumes CONCURRENTLY in one engine
         batch (parallel.multi_canvas): lanes starved by one subvolume's
         seed supply refill from another, so the conv batch stays full on
@@ -190,7 +192,7 @@ class ShardedInferenceDriver:
         driver = multi_canvas.MultiSubvolumeHopDriver(
             runner, tasks, lanes=lanes, slots=slots, hops=hops,
             keep_probability_maps=keep_probability_maps,
-            device_finalize=device_finalize)
+            device_finalize=device_finalize, mesh=mesh)
         return driver.run()
 
     def _install_handoff_policy(self, runner, index):

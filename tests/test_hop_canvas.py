@@ -160,3 +160,16 @@ def test_device_finalize_object_equivalence():
             votes = votes[votes > 0]
             assert votes.size
             assert np.bincount(votes).max() / votes.size > 0.98
+
+
+def test_compaction_off_switch_bit_exact(monkeypatch):
+    """FFN_TPU_COMPACT=0 (the bit-exact replication switch for TPU/bf16
+    runs; doc/parity_map.md deviations) forces the full-batch conv.
+    On CPU/f32 both paths must produce identical segmentations, and the
+    switch must actually select the single-bucket program."""
+    ref = run_hop(lanes=4, hops=8)
+    monkeypatch.setenv("FFN_TPU_COMPACT", "0")
+    off = run_hop(lanes=4, hops=8)
+    assert not off.engine.conv_compact
+    assert ref.engine.conv_compact
+    np.testing.assert_array_equal(off.segmentation, ref.segmentation)

@@ -185,6 +185,38 @@ def main():
         "saved": done,
     }), flush=True)
 
+    # Driver-capturable sustained-e2e artifact: ONE line, the same
+    # shape every round, committed as E2E_r{N}.json alongside
+    # BENCH_r{N}.json (bench.py measures the dense-lane peak; this is
+    # the production-shaped number — VERDICT r4 "what's missing" #2).
+    # round_p50_ms is the tunnel-stable signal (replicated to 0.3-1.5%
+    # across runs while walls varied 2.2x under multi-tenant noise).
+    round_ts = [d for _, d in stats_box.get("round_times", [])]
+    sustained = {
+        "metric": "e2e_sustained_fused_250",
+        "value": round(fovs / max(wall, 1e-9), 1),
+        "unit": "FOV/s",
+        "wall_s": round(wall + stitch_wall, 1),
+        "fov_per_s_sustained": round(fovs / max(wall, 1e-9), 1),
+        "round_p50_ms": round(
+            1000 * float(np.median(round_ts)), 1) if round_ts else None,
+        "agreement": round(float(agreement), 4),
+        "fov_calls": int(fovs),
+        "objects": int(len(np.unique(out[out > 0]))),
+        # ~420 s = ref P100 wall for the same-size volume
+        # (reference README.md:130-131).
+        "vs_baseline": round(420.0 / max(wall + stitch_wall, 1e-9), 2),
+        "config": {"size": size, "pad": pad, "sub": sub,
+                   "overlap": overlap, "lanes": lanes, "slots": slots,
+                   "hops": hops, "subvolumes": n_sub},
+    }
+    print(json.dumps(sustained), flush=True)
+    out_path = os.environ.get("F_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(sustained, f)
+            f.write("\n")
+
 
 if __name__ == "__main__":
     main()

@@ -16,7 +16,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CKPTS = sorted(glob.glob(os.path.join(REPO, "models/phantom/*.npz")))
 BEST = os.path.join(REPO, "models/phantom/model-r2.npz")
-BEST_B = os.path.join(REPO, "models/phantom/model-r4b.npz")
+BEST_B = os.path.join(REPO, "models/phantom/model-r5b.npz")
 
 # Model configuration per shipped checkpoint family (see
 # models/phantom/README.md). Default: the flagship fib25 shape.
@@ -56,7 +56,7 @@ def test_shipped_checkpoint_loads_and_runs(path):
 @pytest.mark.skipif(os.environ.get("FFN_QUALITY") != "1",
                     reason="needs FFN_QUALITY=1 + a real accelerator")
 @pytest.mark.parametrize("ckpt,morph,floor",
-                         [(BEST, "a", 0.95), (BEST_B, "b", 0.90)],
+                         [(BEST, "a", 0.95), (BEST_B, "b", 0.95)],
                          ids=["morphology-a", "morphology-b"])
 def test_shipped_checkpoint_quality_gate(ckpt, morph, floor):
     """Object-level agreement of the shipped flagship checkpoints on
@@ -64,13 +64,12 @@ def test_shipped_checkpoint_quality_gate(ckpt, morph, floor):
 
     One checkpoint per morphology family (the reference's per-dataset
     checkpoint model, ref models/fib25/README.md): model-r2 for the
-    isotropic family A (0.95 bar, published 0.9833), model-r4b (a
-    238-step B-only fine-tune of model-r2 at LR 2e-4, see
-    models/phantom/README.md) for the anisotropic lognormal family B.
-    The B floor is the shipped checkpoint's measured 0.9333 minus
-    margin — a REGRESSION floor approaching the 0.95 target (the
-    earlier full-LR fine-tune peaked at 0.7333 before collapsing; the
-    reduced-LR recipe trains stably, see RESULTS.md round 4).
+    isotropic family A (0.95 bar, published 0.9833), model-r5b for the
+    anisotropic lognormal family B (the round-4 LR-2e-4 B-only
+    fine-tune of model-r2 continued to +1238 steps; the round-5
+    checkpoint ladder measured 0.9333 at +238 -> 1.0 at +988 and
+    +1238 steps, see RESULTS.md round 5). Both families now gate at
+    the 0.95 target floor.
     """
     import json
     import subprocess

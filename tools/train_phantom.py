@@ -10,7 +10,9 @@ EM), a phantom-trained net respects the phantom's membranes, so the
 benchmark measures both speed and segmentation quality.
 
 Env knobs: PH_SIZE (train volume, default 200), PH_STEPS (default 3000),
-PH_BATCH (default 8), PH_DEPTH (default 12), PH_WORKDIR.
+PH_BATCH (default 8), PH_DEPTH (default 12), PH_WORKDIR, PH_MORPH
+("a" = isotropic Voronoi phantom, "b" = anisotropic lognormal family —
+synthetic_em.make_volume_b).
 """
 
 import json
@@ -59,19 +61,23 @@ def main():
     workdir = os.environ.get("PH_WORKDIR", "/tmp/ffn_tpu_phantom_train")
     os.makedirs(workdir, exist_ok=True)
 
-    vol_path = os.path.join(workdir, f"train_{size}.h5")
+    morph = os.environ.get("PH_MORPH", "a")
+    suffix = "" if morph == "a" else f"_{morph}"
+    vol_path = os.path.join(workdir, f"train_{size}{suffix}.h5")
     if not os.path.exists(vol_path):
         print("generating training phantom...", flush=True)
         # Different RNG seed than the eval phantom in e2e_bench.
-        image, gt = synthetic_em.make_volume(size=size, seed=7,
-                                             num_cells=max(
-                                                 8, int(120 * (size / 250)
-                                                        ** 3)))
+        if morph == "b":
+            image, gt = synthetic_em.make_volume_b(size=size, seed=7)
+        else:
+            image, gt = synthetic_em.make_volume(
+                size=size, seed=7,
+                num_cells=max(8, int(120 * (size / 250) ** 3)))
         with h5py.File(vol_path, "w") as f:
             f.create_dataset("raw", data=image)
             f.create_dataset("seg", data=gt.astype(np.uint64))
 
-    coords_path = os.path.join(workdir, "coords.npz")
+    coords_path = os.path.join(workdir, f"coords{suffix}.npz")
     if not os.path.exists(coords_path):
         print("computing partitions + coordinates...", flush=True)
         with h5py.File(vol_path, "r") as f:

@@ -303,12 +303,20 @@ class HopEngine(FloodFillEngine):
         return jnp.asarray(stack)
 
     def update_stack_slot(self, stack: jax.Array, slot: int,
-                          volume: np.ndarray, fill=0.0) -> jax.Array:
+                          volume, fill=0.0) -> jax.Array:
         """Replaces one slot of a (K, Z, Y, X) stack in place (donated),
-        padding the volume to the slot shape."""
+        padding the volume to the slot shape. A pre-padded jax.Array of
+        the full slot shape is used as-is — drivers prefetch-pad and
+        device_put the image off-thread so the H2D transfer rides
+        behind hop rounds instead of blocking the slot reload."""
         shape = stack.shape[1:]
-        padded = np.full(shape, fill, np.dtype(stack.dtype))
-        padded[tuple(slice(0, s) for s in volume.shape)] = volume
+        if (isinstance(volume, jax.Array)
+                and tuple(volume.shape) == tuple(shape)
+                and volume.dtype == stack.dtype):
+            padded = volume
+        else:
+            padded = np.full(shape, fill, np.dtype(stack.dtype))
+            padded[tuple(slice(0, s) for s in volume.shape)] = volume
         cache = getattr(self, "_stack_fns", None)
         if cache is None:
             cache = self._stack_fns = {}
@@ -807,7 +815,29 @@ class HopEngine(FloodFillEngine):
             seed FIFO. Finalizations run first so their claims land
             before reseeds consume FIFO entries. Zero-iteration when
             nothing finished and no refill is possible — the common
-            case costs two reduces over B flags."""
+            case costs two reduces over B flags.
+
+            Same-hop dud kill: weak/capped running lanes are detected
+            HERE (the same origin-voxel / iteration checks lane_pre
+            applies) rather than one hop later, so the trailing pass
+            of the hop that weakened a seed finalizes it and reseeds
+            the lane in time for the NEXT hop's conv. Without this a
+            dud cost 2 hops per executed move (execute, then a
+            detection hop); in the supply-rich dud-heavy phases that
+            halved executed moves per lane-round."""
+            running = state.status == RUNNING
+            capped = running & (max_iters > 0) & (
+                state.iters >= max_iters)
+            origin_vals = jax.vmap(
+                lambda seed, s: seed[s[0], s[1], s[2]])(
+                    state.seeds, state.start)
+            # Promoted comparison, exactly as lane_pre's weak check.
+            weak_now = (running & ~capped & ~state.fresh
+                        & ~(origin_vals >= move_t))
+            status = jnp.where(
+                capped, DONE_CAP,
+                jnp.where(weak_now, DONE_WEAK, state.status))
+            state = dataclasses.replace(state, status=status)
             nmask = (((state.status == DONE_EMPTY) & ~fstate.hold)
                      | (state.status == DONE_WEAK)
                      | (state.status == DONE_CAP))

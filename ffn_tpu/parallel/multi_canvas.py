@@ -285,6 +285,8 @@ class MultiSubvolumeHopDriver:
 
         engine = self.engine
         t0 = time.time()
+        marks = [("start", t0)]
+        mark = lambda name: marks.append((name, time.time()))
         if self.device_finalize:
             # The hop program (the big compile). All-idle lanes + an
             # empty FIFO make this an empty round on device.
@@ -293,11 +295,15 @@ class MultiSubvolumeHopDriver:
                 self.hops, self.max_iters_per_segment,
                 shapes=self.shapes, sync=False, fstate=self._fstate,
                 fin_opts=np.zeros(3, np.float32))
+            mark("run_hops")
             engine.unpack_round(packed, self.lanes, self.K)
+            mark("unpack")
             self._fstate = engine.round_prep(
                 self._fstate, np.zeros((0, 3), np.int32),
                 np.zeros((0,), np.int32), np.zeros(self.lanes, bool))
+            mark("round_prep")
             self._fstate = engine.reset_slot_seg(self._fstate, 0, 1)
+            mark("reset_slot_seg")
             # The save path's cropped slice: one program per DISTINCT
             # task size (edge subvolumes differ from interior ones, so
             # without this the first save of each size compiled inside
@@ -309,6 +315,7 @@ class MultiSubvolumeHopDriver:
                 # blocking D2H per size on the tunneled runtime.
                 engine.slice_slot_seg(
                     self._fstate, 0, size).block_until_ready()
+                mark(f"slice{size}")
         else:
             self._state, packed = engine.run_hops(
                 self._image_dev, self._blocked_dev, self._state,
@@ -332,15 +339,20 @@ class MultiSubvolumeHopDriver:
         # them; the writes below restore the constructor's fill values).
         self._image_dev = engine.update_stack_slot(
             self._image_dev, 0, np.zeros(self.slot_shape, np.float32))
+        mark("stack_image")
         self._blocked_dev = engine.update_stack_slot(
             self._blocked_dev, 0,
             np.full(self.slot_shape, hop_engine_lib.BLOCKED_CLAIMED,
                     np.uint8),
             fill=hop_engine_lib.BLOCKED_CLAIMED)
+        mark("stack_blocked")
         self.stats["t_warmup"] = time.time() - t0
-        logging.info("driver warmup: %.1f s (%d programs precompiled)",
-                     self.stats["t_warmup"],
-                     len(engine._run_hops_cache) + 4)
+        logging.info(
+            "driver warmup: %.1f s (%d programs precompiled): %s",
+            self.stats["t_warmup"],
+            len(engine._run_hops_cache) + 4,
+            " ".join(f"{n}={b - a:.1f}" for (_, a), (n, b)
+                     in zip(marks, marks[1:])))
 
     # -- slot loading / saving ------------------------------------------------
 
@@ -349,6 +361,23 @@ class MultiSubvolumeHopDriver:
         self._blocked_dev = self.engine.update_stack_slot(
             self._blocked_dev, k, slot._build_blocked(),
             fill=hop_engine_lib.BLOCKED_CLAIMED)
+
+    def _prefetch_load(self, corner, size):
+        """Load-pool work for one pending subvolume: h5 read + align +
+        normalize, then pad to the slot shape and START the image's H2D
+        transfer. By the time _load_next_into consumes the future the
+        18 MB (at 165^3) f32 upload has ridden behind hop rounds
+        instead of serializing inside the round loop (a measured
+        t_load hotspot)."""
+        inputs = self.runner.load_subvolume_inputs(corner, size)
+        if inputs is None:
+            return None
+        import jax
+        img = inputs["image"]
+        padded = np.zeros(self.slot_shape, np.float32)
+        padded[tuple(slice(0, s) for s in img.shape)] = img
+        inputs["image_dev"] = jax.device_put(padded)
+        return inputs
 
     def _prefetch_next(self, depth: int = 2):
         """Submits h5-read+normalize for the next pending task(s) to the
@@ -365,7 +394,7 @@ class MultiSubvolumeHopDriver:
             if os.path.exists(seg_path):
                 continue
             self._prefetch[corner] = self._load_pool.submit(
-                self.runner.load_subvolume_inputs, corner, size)
+                self._prefetch_load, corner, size)
             pending += 1
 
     def _load_next_into(self, k: int) -> bool:
@@ -387,7 +416,7 @@ class MultiSubvolumeHopDriver:
                 # Route through the load pool anyway: it serializes all
                 # h5 access on one thread.
                 fut = self._load_pool.submit(
-                    self.runner.load_subvolume_inputs, corner, size)
+                    self._prefetch_load, corner, size)
             inputs = fut.result()
             self._prefetch_next()
             if inputs is None:   # fully masked
@@ -413,7 +442,7 @@ class MultiSubvolumeHopDriver:
             self._slot_meta[k] = (corner, size, inputs["alignment"])
             self.shapes[k] = np.array(slot.shape, np.int32)
             self._image_dev = self.engine.update_stack_slot(
-                self._image_dev, k, slot.image)
+                self._image_dev, k, inputs.get("image_dev", slot.image))
             self.refresh_slot_blocked(k)
             if self.device_finalize:
                 # Device ids continue above any init-segmentation ids.

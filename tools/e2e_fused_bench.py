@@ -128,6 +128,7 @@ def main():
             "screen_cands": r.get("screen_cands", 0),
             "t_load_s": round(r["t_load"], 1),
             "t_save_disp_s": round(r.get("t_save_disp", 0.0), 1),
+            "t_warmup_s": round(r.get("t_warmup", 0.0), 1),
             "pops_total": r.get("pops", 0),
             "max_lane_pops_per_round": r.get("max_lane_pops", 0),
             # Median per-round device time per hop count: robust to

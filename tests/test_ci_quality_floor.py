@@ -60,6 +60,11 @@ def test_quality_floor_tiny_checkpoint(tmp_path, monkeypatch,
     ckpt = CKPT if morph == "a" else CKPT_B
     if not os.path.exists(ckpt):
         pytest.skip(f"{os.path.basename(ckpt)} not shipped yet")
+    # Family B is anisotropic ((2,1,1) zyx voxels) — its tiny model uses
+    # an anisotropy-matched FOV/deltas (xyz), like the reference's ssEM
+    # models; an isotropic depth-2 model never clears the floor.
+    fov, deltas = (([17, 17, 17], [6, 6, 6]) if morph == "a"
+                   else ([17, 17, 9], [6, 6, 3]))
     monkeypatch.setenv("FFN_TPU_DEVFIN", device_finalize)
     if morph == "a":
         image, gt = synthetic_em.make_volume(size=SIZE, seed=3,
@@ -79,7 +84,7 @@ image_mean: 128 image_stddev: 33
 seed_policy: "PolicyPeaks"
 model_checkpoint_path: "{ckpt}"
 model_name: "convstack_3d.ConvStack3DFFNModel"
-model_args: "{{\\"depth\\": 2, \\"fov_size\\": [17, 17, 17], \\"deltas\\": [6, 6, 6], \\"features\\": 16}}"
+model_args: "{{\\"depth\\": 2, \\"fov_size\\": {fov}, \\"deltas\\": {deltas}, \\"features\\": 16}}"
 segmentation_output_dir: "{tmp_path}/out"
 concurrent_requests: 4
 inference_options {{

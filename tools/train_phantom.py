@@ -55,8 +55,16 @@ def main():
     steps = int(os.environ.get("PH_STEPS", "3000"))
     batch = int(os.environ.get("PH_BATCH", "8"))
     depth = int(os.environ.get("PH_DEPTH", "12"))
-    fov = int(os.environ.get("PH_FOV", "33"))
-    delta = int(os.environ.get("PH_DELTA", "8"))
+    # Scalar = isotropic; "x,y,z" = anisotropic (match deltas to the
+    # dataset's voxel anisotropy, as the reference does for ssEM — e.g.
+    # morphology B's (2,1,1) zyx voxels want fov 17,17,9 / deltas 6,6,3).
+    def _axes(env, default):
+        raw = os.environ.get(env, default)
+        vals = [int(v) for v in raw.split(",")]
+        return tuple(vals * 3 if len(vals) == 1 else vals)
+
+    fov = _axes("PH_FOV", "33")      # xyz
+    delta = _axes("PH_DELTA", "8")   # xyz
     features = int(os.environ.get("PH_FEATURES", "32"))
     workdir = os.environ.get("PH_WORKDIR", "/tmp/ffn_tpu_phantom_train")
     os.makedirs(workdir, exist_ok=True)
@@ -82,7 +90,8 @@ def main():
         print("computing partitions + coordinates...", flush=True)
         with h5py.File(vol_path, "r") as f:
             seg = f["seg"][...]
-        lom_radius = (fov // 2 + delta,) * 3
+        # lom_radius is xyz, like fov/delta (partitions.py:65).
+        lom_radius = tuple(f // 2 + d for f, d in zip(fov, delta))
         corner, parts = partitions.compute_partitions(
             seg.astype(np.uint64),
             thresholds=[0.025, 0.05, 0.075, 0.1, 0.2, 0.3, 0.4, 0.5,
@@ -116,7 +125,7 @@ def main():
         print(f"{len(centers)} coordinates", flush=True)
 
     config = train_lib.TrainConfig(
-        fov_size=(fov,) * 3, deltas=(delta,) * 3, depth=depth,
+        fov_size=fov, deltas=delta, depth=depth,
         features=features,
         batch_size=batch,
         precision=os.environ.get("PH_PRECISION", "bf16"),
@@ -147,8 +156,8 @@ def main():
            else train_loop.run_training)
     summaries = run(
         "convstack_3d.ConvStack3DFFNModel",
-        json.dumps({"depth": depth, "fov_size": [fov] * 3,
-                    "deltas": [delta] * 3, "features": features}),
+        json.dumps({"depth": depth, "fov_size": list(fov),
+                    "deltas": list(delta), "features": features}),
         config, data, loop)
     wall = time.time() - t0
     print(json.dumps({

@@ -81,7 +81,7 @@ def main():
                              ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from ffn_tpu.inference import engine as engine_lib
     from ffn_tpu.inference import hop_engine as hop_engine_lib

@@ -275,12 +275,17 @@ class MultiSubvolumeHopDriver:
         wall to rounds above p90, and the p99/max tail was first-use
         compiles: run_hops itself, the save path's cropped slice at each
         distinct edge-subvolume size, and the slot-stack update shapes.
-        Runs synchronously at construction — the h5 prefetches submitted
-        just above overlap it — and is semantically a no-op: all lanes
-        are idle, the FIFO is empty, and the slot-stack writes re-write
-        the constructor's fill values. Thresholds (fin_opts / options)
-        are traced arguments, so the dummy values here compile the same
-        programs the real rounds reuse."""
+        Compiles run synchronously at dispatch (that is the warming),
+        but NOTHING here materializes a device result: the warmup
+        round's device execution proceeds asynchronously while run()
+        loads slots and materializes seed policies (sobel/EDT/peaks
+        host work), and the first real round queues behind it through
+        its data dependencies. t_warmup therefore measures trace +
+        compile/cache-load + dispatch only. Semantically a no-op: all
+        lanes are idle, the FIFO is empty, and the slot-stack writes
+        re-write the constructor's fill values. Thresholds (fin_opts /
+        options) are traced arguments, so the dummy values here compile
+        the same programs the real rounds reuse."""
         import time
 
         engine = self.engine
@@ -296,7 +301,13 @@ class MultiSubvolumeHopDriver:
                 shapes=self.shapes, sync=False, fstate=self._fstate,
                 fin_opts=np.zeros(3, np.float32))
             mark("run_hops")
-            engine.unpack_round(packed, self.lanes, self.K)
+            # unpack_round is pure numpy (no device program to warm):
+            # calling it here only BLOCKED construction on the warmup
+            # round's device execution — measured as the dominant
+            # warmup mark (333 s on a contended tunnel window). The
+            # warmup round now executes asynchronously while run()
+            # loads slots and materializes seed policies; the first
+            # real round queues behind it via data dependencies.
             mark("unpack")
             self._fstate = engine.round_prep(
                 self._fstate, np.zeros((0, 3), np.int32),
@@ -311,17 +322,20 @@ class MultiSubvolumeHopDriver:
             for size in sorted({tuple(int(v) for v in s)
                                 for _, s in self.tasks}):
                 # Dispatch-only: compiling the slice program is the
-                # point; materializing the multi-MB crop would pay a
-                # blocking D2H per size on the tunneled runtime.
-                engine.slice_slot_seg(
-                    self._fstate, 0, size).block_until_ready()
+                # point (jit compiles synchronously at dispatch);
+                # neither materializing the multi-MB crop (a blocking
+                # D2H) nor block_until_ready (which transitively waits
+                # for the warmup hop round through the fstate data
+                # dependency) is needed to warm it.
+                engine.slice_slot_seg(self._fstate, 0, size)
                 mark(f"slice{size}")
         else:
             self._state, packed = engine.run_hops(
                 self._image_dev, self._blocked_dev, self._state,
                 self.hops, self.max_iters_per_segment,
                 shapes=self.shapes, sync=False)
-            engine.unpack_aux(packed)
+            # (unpack_aux is pure numpy — nothing to warm; calling it
+            # would block construction on the warmup round.)
             # reseed (an all-False mask is the identity) + the
             # finalization pre-gate.
             self._state = engine.reseed_lanes(
@@ -332,9 +346,11 @@ class MultiSubvolumeHopDriver:
                                  0.0, 0.0)
         if self.screen_enabled:
             for n in (1, engine.SCREEN_BATCH):
-                np.asarray(engine.screen_seeds_async(
+                # Dispatch-only: the compile happens at dispatch;
+                # materializing the verdicts would block on the queue.
+                engine.screen_seeds_async(
                     self._image_dev, np.zeros((n, 3), np.int32), 0.0,
-                    sv=np.zeros(n, np.int32)))
+                    sv=np.zeros(n, np.int32))
         # Slot-stack update programs (the first slot load would compile
         # them; the writes below restore the constructor's fill values).
         self._image_dev = engine.update_stack_slot(
@@ -347,6 +363,12 @@ class MultiSubvolumeHopDriver:
             fill=hop_engine_lib.BLOCKED_CLAIMED)
         mark("stack_blocked")
         self.stats["t_warmup"] = time.time() - t0
+        # Per-mark anatomy rides in stats so e2e artifacts can report
+        # WHERE warmup time goes (compile vs cache load vs alloc),
+        # not just the total.
+        self.stats["warmup_marks"] = {
+            n: round(b - a, 1)
+            for (_, a), (n, b) in zip(marks, marks[1:])}
         logging.info(
             "driver warmup: %.1f s (%d programs precompiled): %s",
             self.stats["t_warmup"],

@@ -40,7 +40,7 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from tools import synthetic_em
     from tools.quality_eval import build_request, make_phantom
@@ -129,6 +129,7 @@ def main():
             "t_load_s": round(r["t_load"], 1),
             "t_save_disp_s": round(r.get("t_save_disp", 0.0), 1),
             "t_warmup_s": round(r.get("t_warmup", 0.0), 1),
+            "warmup_marks": r.get("warmup_marks", {}),
             "pops_total": r.get("pops", 0),
             "max_lane_pops_per_round": r.get("max_lane_pops", 0),
             # Median per-round device time per hop count: robust to

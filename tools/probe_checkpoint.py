@@ -27,7 +27,7 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from tools import synthetic_em
     from ffn_tpu.inference import runner as runner_lib

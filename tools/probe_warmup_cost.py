@@ -28,7 +28,7 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_explain_cache_misses", True)
     pylog.basicConfig(level=pylog.INFO, stream=sys.stderr)
     pylog.getLogger("jax._src.compiler").setLevel(pylog.DEBUG)
